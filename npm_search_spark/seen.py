@@ -1,0 +1,245 @@
+"""URL-seen set: partitioned Bloom prefilter + exact anti-join fallback.
+
+Re-creates the reference's dedup semantics — its queue upsert by objectID
+and isProcessed flag (src/watch.ts:134-141, src/indexers/
+MainBootstrapIndexer.ts:31-36) are semantically a URL-seen set — at
+10^10-URL scale (north rule: canonicalized, xxhash64-keyed, broadcast-
+merged per micro-batch).
+
+Design:
+- The exact set is a SnapTable of (bucket, key, url) where
+  key = xxhash64(canonical_url), bucket = pmod(key, 256). Rows are written
+  repartitioned+sorted by (bucket, key) so parquet row-group min/max stats
+  prune the exact-check scan.
+- A Bloom filter sharded by bucket is built per snapshot with mapInArrow
+  (vectorized numpy, one bitmap per bucket partition), OR-merged on the
+  driver, and broadcast. Candidates that miss the Bloom are definitively
+  unseen (no false negatives); hits go to the exact semi-join (false
+  positives resolved exactly).
+- At 1e10 keys / 1% fp the filter is ~1.5 GiB total, i.e. ~6 MiB per
+  bucket shard: on a real cluster only the shards matching the micro-batch's
+  buckets need shipping; in local mode we broadcast the whole dict.
+
+The exact check never leaves the JVM-side join path; the Bloom is the only
+Python stage and is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.urls import N_SEEN_BUCKETS, canonicalize_url, url_bucket, url_key
+from .tables import SnapTable
+
+SEEN_SCHEMA = "bucket int, key long, url string"
+
+
+def _bloom_params(expected_keys: int, fp_rate: float) -> tuple[int, int]:
+    m = max(64, int(-expected_keys * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / max(expected_keys, 1) * math.log(2)))
+    return m, min(k, 8)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> Iterator[np.ndarray]:
+    """k hash positions per 64-bit key, derived from two halves of the key
+    (Kirsch–Mitzenmacher double hashing) — vectorized."""
+    h1 = keys.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    h2 = (keys.astype(np.uint64) >> np.uint64(32)) | np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomShards:
+    """bucket -> packed uint64 bitmap."""
+
+    def __init__(self, m_bits_per_shard: int, k: int):
+        self.m = m_bits_per_shard
+        self.k = k
+        self.shards: dict[int, np.ndarray] = {}
+
+    def add(self, buckets: np.ndarray, keys: np.ndarray) -> None:
+        for b in np.unique(buckets):
+            mask = buckets == b
+            shard = self.shards.setdefault(
+                int(b), np.zeros(self.m // 64, dtype=np.uint64)
+            )
+            for pos in _bloom_positions(keys[mask], self.m, self.k):
+                np.bitwise_or.at(shard, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+
+    def might_contain(self, buckets: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue
+            hit = np.ones(int(mask.sum()), dtype=bool)
+            for pos in _bloom_positions(keys[mask], self.m, self.k):
+                hit &= (shard[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1) != 0
+            out[mask] = hit
+        return out
+
+    def merge(self, other: "BloomShards") -> None:
+        for b, bm in other.shards.items():
+            if b in self.shards:
+                self.shards[b] |= bm
+            else:
+                self.shards[b] = bm
+
+
+class SeenSet:
+    def __init__(
+        self,
+        root: str,
+        expected_keys_per_bucket: int = 200_000,
+        fp_rate: float = 0.01,
+        n_buckets: int = N_SEEN_BUCKETS,
+    ):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromDDL(SEEN_SCHEMA)
+        self.table = SnapTable(root, schema)
+        self.n_buckets = n_buckets
+        self.m, self.k = _bloom_params(expected_keys_per_bucket, fp_rate)
+        self._bloom: BloomShards | None = None
+        self._bloom_snapshot: int | None = None
+
+    # -- bloom maintenance ---------------------------------------------------
+
+    def _bloom_of(self, df: DataFrame) -> BloomShards:
+        """Per-partition numpy bitmaps via mapInArrow, OR-merged driver-side."""
+        bloom = BloomShards(self.m, self.k)
+        df = df.select("bucket", "key")
+        m, k = self.m, self.k
+
+        def build(batches):
+            import pyarrow as pa
+
+            out_schema = pa.schema([("bucket", pa.int32()), ("bits", pa.binary())])
+            local = BloomShards(m, k)
+            for batch in batches:
+                local.add(
+                    batch.column("bucket").to_numpy(zero_copy_only=False),
+                    batch.column("key").to_numpy(zero_copy_only=False),
+                )
+            for b, bm in local.shards.items():
+                yield pa.RecordBatch.from_pydict(
+                    {"bucket": [b], "bits": [bm.tobytes()]}, schema=out_schema
+                )
+
+        rows = df.mapInArrow(build, schema="bucket int, bits binary").collect()
+        for r in rows:
+            shard = np.frombuffer(r["bits"], dtype=np.uint64)
+            if r["bucket"] in bloom.shards:
+                bloom.shards[r["bucket"]] = bloom.shards[r["bucket"]] | shard
+            else:
+                bloom.shards[r["bucket"]] = shard.copy()
+        return bloom
+
+    def _bloom_current(self, spark: SparkSession) -> BloomShards:
+        """Rebuild from the full table only on a cold start / external
+        snapshot change; ``add()`` keeps it incrementally up to date
+        (O(batch) per micro-batch, not O(table))."""
+        snap = self.table.current_snapshot_id()
+        if self._bloom is None or self._bloom_snapshot != snap:
+            self._bloom = (
+                self._bloom_of(self.table.read(spark))
+                if snap is not None
+                else BloomShards(self.m, self.k)
+            )
+            self._bloom_snapshot = snap
+        return self._bloom
+
+    # -- public API ------------------------------------------------------------
+
+    def keyed(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        canon = canonicalize_url(F.col(url_col))
+        return urls.withColumn(url_col, canon).withColumn(
+            "key", url_key(F.col(url_col))
+        ).withColumn("bucket", url_bucket(F.col(url_col), self.n_buckets))
+
+    def filter_unseen(
+        self, spark: SparkSession, urls: DataFrame, url_col: str = "url"
+    ) -> DataFrame:
+        """Rows of ``urls`` whose canonical URL is not in the seen set.
+
+        Plan shape: Bloom prefilter (Arrow batch, broadcast shards) splits
+        candidates into definitely-unseen and possibly-seen; only the
+        latter touch the exact seen table, via a key-pruned semi scan +
+        broadcast anti-join (the big table is never shuffled).
+        """
+        cand = self.keyed(urls, url_col)
+        if self.table.current_snapshot_id() is None:
+            return cand.drop("key", "bucket")
+
+        bloom = self._bloom_current(spark)
+        bc = spark.sparkContext.broadcast(bloom)
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def maybe_seen(bucket, key):
+            import pandas as pd
+
+            b = bc.value
+            return pd.Series(
+                b.might_contain(bucket.to_numpy(), key.to_numpy())
+            )
+
+        cand = cand.withColumn("_maybe", maybe_seen(F.col("bucket"), F.col("key")))
+        sure_new = cand.filter(~F.col("_maybe"))
+        suspects = cand.filter(F.col("_maybe"))
+
+        # exact check: seen ⨝ suspects (suspects broadcast — the big table is
+        # never shuffled), URL-compared to kill hash collisions, then anti
+        seen = self.table.read(spark).select("key", F.col("url").alias("_seen_url"))
+        confirmed = (
+            seen.join(
+                F.broadcast(suspects.select("key", F.col(url_col).alias("_cand_url"))),
+                on="key",
+                how="inner",
+            )
+            .where(F.col("_seen_url") == F.col("_cand_url"))
+            .select(F.col("_cand_url").alias("_confirmed_url"))
+            .distinct()
+        )
+        false_pos = suspects.join(
+            F.broadcast(confirmed),
+            suspects[url_col] == F.col("_confirmed_url"),
+            "left_anti",
+        )
+        return sure_new.unionByName(false_pos).drop("key", "bucket", "_maybe")
+
+    def add(self, spark: SparkSession, urls: DataFrame, url_col: str = "url") -> int:
+        """Append canonical URLs to the seen set (dedup within the batch);
+        returns the new snapshot id."""
+        prev_snap = self.table.current_snapshot_id()
+        rows = (
+            self.keyed(urls.select(url_col), url_col)
+            .select("bucket", "key", F.col(url_col).alias("url"))
+            .dropDuplicates(["key"])
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "key")
+        )
+        sid = self.table.append(rows, meta={"op": "seen-add"})
+        if self._bloom is not None and self._bloom_snapshot == prev_snap:
+            # incremental: fold only the appended batch into the cached bloom
+            self._bloom.merge(self._bloom_of(self.table.read(spark, snapshot_id=sid)
+                                             if prev_snap is None
+                                             else spark.read.parquet(*self._new_files(prev_snap, sid))))
+            self._bloom_snapshot = sid
+        return sid
+
+    def _new_files(self, prev_snap: int, new_snap: int) -> list[str]:
+        prev = set(self.table.snapshot(prev_snap).files)
+        return [f for f in self.table.snapshot(new_snap).files if f not in prev]
+
+    def count(self, spark: SparkSession) -> int:
+        if self.table.current_snapshot_id() is None:
+            return 0
+        return self.table.read(spark).count()

@@ -1,0 +1,110 @@
+"""SnapTable: snapshot semantics (append/overwrite/merge/time-travel) and
+SeenSet: Bloom-prefiltered exact URL dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_search_spark.seen import SeenSet
+from npm_search_spark.tables import SnapTable
+
+
+class TestSnapTable:
+    def test_append_and_time_travel(self, spark, tmp_path):
+        t = SnapTable(str(tmp_path / "t"))
+        s1 = t.append(spark.createDataFrame([(1, "a")], "id int, v string"))
+        s2 = t.append(spark.createDataFrame([(2, "b")], "id int, v string"))
+        assert t.current_snapshot_id() == s2
+        assert t.read(spark).count() == 2
+        assert t.read(spark, snapshot_id=s1).count() == 1
+        assert [s.snapshot_id for s in t.history()] == [s1, s2]
+
+    def test_overwrite(self, spark, tmp_path):
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1, "a")], "id int, v string"))
+        t.overwrite(spark.createDataFrame([(9, "z")], "id int, v string"))
+        assert [r["id"] for r in t.read(spark).collect()] == [9]
+
+    def test_merge_upsert(self, spark, tmp_path):
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(
+            spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "id int, v string, rev int")
+        )
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(2, "B", 20), (3, "c", 20)], "id int, v string, rev int"),
+            key="id",
+        )
+        got = {r["id"]: (r["v"], r["rev"]) for r in t.read(spark).collect()}
+        assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 20)}
+
+    def test_merge_upsert_revision_guard(self, spark, tmp_path):
+        """IncrementFrom-style optimistic concurrency: stale source rows
+        must not clobber newer target rows (reference
+        src/indexers/MainWatchIndexer.ts:36-45)."""
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1, "new", 30)], "id int, v string, rev int"))
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(1, "stale", 20), (2, "x", 20)], "id int, v string, rev int"),
+            key="id",
+            guard="src.rev >= tgt.rev",
+        )
+        got = {r["id"]: (r["v"], r["rev"]) for r in t.read(spark).collect()}
+        assert got == {1: ("new", 30), 2: ("x", 20)}
+
+    def test_delete_where(self, spark, tmp_path):
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1, "done"), (2, "pending")], "id int, state string"))
+        t.delete_where(spark, "state = 'done'")
+        assert [r["id"] for r in t.read(spark).collect()] == [2]
+
+    def test_crash_before_commit_invisible(self, spark, tmp_path):
+        """Data files written without a manifest commit must stay invisible
+        (resume reads the last complete snapshot)."""
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1,)], "id int"))
+        # simulate a crash: write files but no commit
+        t._write_files(spark.createDataFrame([(2,)], "id int"))
+        assert t.read(spark).count() == 1
+
+
+class TestSeenSet:
+    def _urls(self, spark, urls):
+        return spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def test_empty_set_passes_all(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"))
+        out = s.filter_unseen(spark, self._urls(spark, ["https://a.com/x"]))
+        assert out.count() == 1
+
+    def test_dedup_roundtrip(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        batch1 = ["https://registry.npmjs.org/react", "https://registry.npmjs.org/preact"]
+        s.add(spark, self._urls(spark, batch1))
+        batch2 = batch1 + ["https://registry.npmjs.org/vue"]
+        out = s.filter_unseen(spark, self._urls(spark, batch2))
+        assert [r["url"] for r in out.collect()] == ["https://registry.npmjs.org/vue"]
+
+    def test_canonicalization_collapses_variants(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"))
+        s.add(spark, self._urls(spark, ["HTTPS://Registry.NPMJS.org/react/"]))
+        out = s.filter_unseen(
+            spark,
+            self._urls(spark, ["https://registry.npmjs.org/react#frag", "https://registry.npmjs.org/react2"]),
+        )
+        assert [r["url"] for r in out.collect()] == ["https://registry.npmjs.org/react2"]
+
+    def test_incremental_adds(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=500)
+        all_urls = [f"https://cdn.jsdelivr.net/npm/pkg{i}@1.0.0/x.js" for i in range(300)]
+        s.add(spark, self._urls(spark, all_urls[:100]))
+        out1 = s.filter_unseen(spark, self._urls(spark, all_urls[:200]))
+        assert out1.count() == 100
+        s.add(spark, out1)
+        out2 = s.filter_unseen(spark, self._urls(spark, all_urls))
+        assert out2.count() == 100
+        s.add(spark, out2)
+        assert s.filter_unseen(spark, self._urls(spark, all_urls)).count() == 0
+        assert s.count(spark) == 300
