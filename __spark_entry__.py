@@ -1,38 +1,817 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end crawl slice (SURVEY.md §7):
+bootstrap-crawl a small synthetic package universe through the full
+frontier (politeness schedule -> URL-seen dedup -> fetch -> formatPkg ->
+enrich -> changelog probes) and answer: top-10 popular packages with a
+changelog and TypeScript support, by downloads magnitude.
+
+``queries()`` / ``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 (scans, joins, window top-k, last-wins dedup, politeness
+budget, retry backoff, regex predicates, scalar functions) plus the
+training-data pipeline ops (exact/minhash/ngram/simhash dedup, ANN
+similarity, text stats, multimodal decode plumbing). Non-SQL-expressible
+ops omit the oracle (driver records rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: end-to-end crawl slice
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Bootstrap-crawl 200 synthetic packages end-to-end, then rank:
+    top-10 popular packages having a changelog and TS support, by
+    downloads magnitude (exercises S1→P1→J1/J3→P9/P11→W1/W2→sort/limit)."""
+    from npm_search_spark.frontier import Crawl
+    from npm_search_spark.sources import synthetic as SYN
+
+    n = 200
+    uni = {k: v.cache() for k, v in SYN.universe(spark, n, partitions=8).items()}
+    total = uni["npm_downloads"].agg(F.sum("downloads_last_30d")).first()[0]
+    root = tempfile.mkdtemp(prefix="npm-search-crawl-")
+    crawl = Crawl(
+        spark, root, uni, total_npm_downloads=int(total),
+        budget_multiplier=1000, backoff_scale=0.01,
+    )
+    crawl.seed(uni["raw_docs"].select("doc_id"))
+    crawl.run_bootstrap(max_generations=12, log=None)
+    pkgs = crawl.packages.read(spark)
+    return (
+        pkgs.where(
+            F.col("changelogFilename").isNotNull()
+            & (F.col("types.ts") != "false")
+        )
+        .orderBy(
+            F.desc("_downloadsMagnitude"),
+            F.desc("_jsDelivrPopularity"),
+            F.desc("downloadsLast30Days"),
+            F.asc("objectID"),
+        )
+        .select(
+            "objectID", "version", "downloadsLast30Days", "_downloadsMagnitude",
+            "jsDelivrHits", "popular", "changelogFilename", F.col("types.ts").alias("ts"),
+        )
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator battery
+# ---------------------------------------------------------------------------
+
+
+def q_key_ordered_scan(spark, sf):
+    """S1/L1: key-ordered paginated scan with resume predicate."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.where(F.col("o_orderkey") > 100)
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .limit(100)
+    )
+
+
+def q_total_sum(spark, sf):
+    """S5/A1: full-scan reduce to scalar."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_last_wins_dedup(spark, sf):
+    """A2/T3: last-wins dedup per key (watch batch dedup)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_topk_popular_rank(spark, sf):
+    """W1/A3: global top-1000 rank flag (jsDelivr popular)."""
+    c = _t(spark, sf, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        (F.row_number().over(w) <= 1000).alias("popular"),
+    )
+
+
+def q_downloads_magnitude(spark, sf):
+    """W2/W3: decimal-magnitude ranking columns."""
+    o = _t(spark, sf, "orders")
+    mag = F.length(F.floor("o_totalprice").cast("long").cast("string"))
+    return o.select(
+        "o_orderkey",
+        mag.cast("int").alias("magnitude"),
+        F.greatest(mag - 3, F.lit(0)).cast("int").alias("popularity"),
+    )
+
+
+def q_broadcast_left_join(spark, sf):
+    """J1/J2/J3: broadcast left equi-join + coalesce defaults."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("none")).alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_anti_join_seen(spark, sf):
+    """J8: URL-seen semantics — candidates minus the seen set."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_min_by_race(spark, sf):
+    """L4: deterministic first-success-wins (replaces the promise race)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+def q_politeness_budget(spark, sf):
+    """T7/W4: per-host budget via ranked window — the politeness operator
+    on generic data (event_type = host, value = priority)."""
+    e = _t(spark, sf, "events")
+    budgets = F.when(F.col("event_type") == "click", 6).when(
+        F.col("event_type") == "view", 20
+    ).otherwise(10)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= budgets)
+        .select("event_type", "event_id", F.round("value", 6).alias("priority"))
+    )
+
+
+def q_retry_backoff(spark, sf):
+    """T5: (retries+1)^3 s capped at 60 backoff classes."""
+    e = _t(spark, sf, "events")
+    r = (F.col("event_id") % 6).cast("int")
+    return e.select(
+        "event_id",
+        r.alias("retries"),
+        F.least(F.pow(r + 1, 3), F.lit(60)).cast("long").alias("backoff_s"),
+    )
+
+
+def q_scheduling_predicate(spark, sf):
+    """P8: frontier scheduling predicates (state + next_attempt window)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.where(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("value") > 10)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_eligible"))
+    )
+
+
+def q_distinct_facets(spark, sf):
+    """A5: facet enumeration, sorted, capped."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.col("o_orderstatus").alias("facet"))
+        .distinct()
+        .orderBy("facet")
+        .limit(1000)
+    )
+
+
+def q_array_distinct_names(spark, sf):
+    """A6/U1: insertion-ordered set dedup of derived name tokens."""
+    p = _t(spark, sf, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        F.size(words).alias("n_words"),
+    )
+
+
+def q_candidate_explode(spark, sf):
+    """U4/S10: candidate cross-product explosion (18 changelog probes)."""
+    p = _t(spark, sf, "part")
+    cands = F.array(F.lit("CHANGELOG.md"), F.lit("HISTORY.md"), F.lit("RELEASES.md"))
+    return (
+        p.where(F.col("p_partkey") <= 200)
+        .select("p_partkey", F.posexplode(cands).alias("rank", "candidate"))
+        .select("p_partkey", (F.col("rank") + 1).alias("rank"), "candidate")
+    )
+
+
+def q_gravatar_md5(spark, sf):
+    """F4: md5(lower(trim(x))) gravatar hashing."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://gravatar.com/avatar/"), F.md5(F.lower(F.trim("c_name")))
+        ).alias("gravatar"),
+    )
+
+
+def q_epoch_millis(spark, sf):
+    """F6: ISO date -> epoch ms."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_ms"),
+    )
+
+
+def q_day_rounding(spark, sf):
+    """F7: round-to-UTC-midnight windows (periodic re-crawl)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_downloads_ratio(spark, sf):
+    """F10/F11: ratio-to-total percentage + popularity flag."""
+    o = _t(spark, sf, "orders")
+    total = Window.partitionBy()
+    ratio = F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(total) * 100, 4)
+    return o.select(
+        "o_orderkey",
+        ratio.alias("ratio"),
+        (ratio > 0.005).alias("popular"),
+    )
+
+
+def q_human_number(spark, sf):
+    """F3: numeral '0.[0]a' human formatting."""
+    from npm_search_spark.enrich import human_number_col
+
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey", human_number_col(F.floor("o_totalprice")).alias("human")
+    )
+
+
+def q_changelog_regex(spark, sf):
+    """P9: changelog filename regex battery over synthesized paths."""
+    from npm_search_spark.functions.spans import CHANGELOG_BASENAME_RE
+
+    p = _t(spark, sf, "part")
+    fname = F.concat(
+        F.element_at(F.split("p_name", " "), 1),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("")).otherwise(F.lit(".md")),
+    )
+    path = F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("/CHANGELOG"), F.when(F.col("p_partkey") % 2 == 0, ".md").otherwise(F.lit("")))).otherwise(F.concat(F.lit("/"), fname))
+    return p.select(
+        "p_partkey",
+        path.alias("path"),
+        F.element_at(F.split(path, "/"), -1).rlike(CHANGELOG_BASENAME_RE).alias("is_changelog"),
+    )
+
+
+def q_repo_url_parse(spark, sf):
+    """F8: repo-URL parser battery over synthesized URLs (hosted-git-info
+    fidelity lives in the Arrow UDF; this covers the SQL-expressible http
+    fallback regex)."""
+    c = _t(spark, sf, "customer")
+    url = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(F.lit("https://github.com/user"), F.col("c_custkey"), F.lit("/proj")),
+    ).when(
+        F.col("c_custkey") % 3 == 1,
+        F.concat(F.lit("https://gitlab.com/user"), F.col("c_custkey"), F.lit("/proj/tree/master/pkg")),
+    ).otherwise(
+        F.concat(F.lit("https://example.com/user"), F.col("c_custkey"), F.lit("/proj"))
+    )
+    host = F.regexp_extract(url, r"^https?://(?:www\.)?((?:github|gitlab|bitbucket)\.(?:com|org))/", 1)
+    return c.select(
+        "c_custkey",
+        url.alias("url"),
+        F.when(host != "", host).otherwise(F.lit(None)).alias("host"),
+        F.when(host != "", F.regexp_extract(url, r"^https?://[^/]+/([^/]+)/", 1)).otherwise(F.lit(None)).alias("repo_user"),
+    )
+
+
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization (seen-set keying)."""
+    from npm_search_spark.functions.urls import canonicalize_url
+
+    c = _t(spark, sf, "customer")
+    raw = F.concat(
+        F.lit("HTTPS://Registry.NPMJS.org/pkg"),
+        F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("/")).otherwise(F.lit("#readme")),
+    )
+    return c.select("c_custkey", canonicalize_url(raw).alias("canonical"))
+
+
+def q_watermark_max_seq(spark, sf):
+    """A7/T1: per-group high-watermark (resume offset)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.max("event_id").alias("max_seq"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+# -- training-data pipeline ops ----------------------------------------------
+
+
+def _docs_with_dups(spark, sf):
+    """documents ∪ exact copies of every 10th doc (ids +1000000) — a
+    deterministic near-dup universe both engines can derive identically."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup groups over content fingerprints."""
+    from npm_search_spark.pipeline.dedup import exact_duplicates
+
+    out = exact_duplicates(_docs_with_dups(spark, sf))
+    return out.select("fingerprint", "n_docs", "keeper").orderBy("fingerprint")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    from npm_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf), threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH candidates verified by exact Jaccard (>=0.9: identical
+    signatures guarantee candidacy, so recall vs the exact oracle is 1)."""
+    from npm_search_spark.pipeline.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(_docs_with_dups(spark, sf), threshold=0.9).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (rows-only check: 64-bit bit-vote hashing is
+    not expressible in ANSI SQL)."""
+    from npm_search_spark.pipeline.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_with_dups(spark, sf), max_hamming=3)
+
+
+def q_text_stats(spark, sf):
+    """Token counts, stopword/punct ratios, fingerprints."""
+    from npm_search_spark.pipeline.textstats import (
+        fingerprint,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio_en"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_lang_id(spark, sf):
+    """Language-ID heuristic (argmax of stopword ratios)."""
+    from npm_search_spark.pipeline.textstats import lang_id
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark, sf):
+    """Composite quality score."""
+    from npm_search_spark.pipeline.textstats import quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-10 for the first 5 query vectors."""
+    from npm_search_spark.pipeline.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return cosine_topk(e, q, k=10).orderBy("query_id", "rank")
+
+
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed approximate top-k (rows-only: murmur3 hyperplanes are
+    engine-specific)."""
+    from npm_search_spark.pipeline.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 5)
+    return lsh_ann_topk(e, q, dim=dim, k=10, n_planes=6)
+
+
+def q_embedding_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only)."""
+    from npm_search_spark.pipeline.similarity import embedding_cosine_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return embedding_cosine_dup_pairs(e, threshold=0.9, dim=dim, n_planes=4)
+
+
+def q_multimodal_decode(spark, sf):
+    """Multimodal plumbing: documents -> media rows -> Arrow-batched decode
+    stub -> per-type feature stats (rows-only: binary payloads + stubbed
+    codecs are not SQL-expressible)."""
+    from npm_search_spark.pipeline.multimodal import decode_media, media_rows_from_spans
+    from npm_search_spark.sources import synthetic as SYN
+
+    docs = SYN.documents(spark, 200, partitions=4)
+    decoded = decode_media(media_rows_from_spans(docs))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.avg("width").alias("avg_width"),
+        F.sum("n_frames").alias("total_frames"),
+    )
+
+
+def q_frontier_schedule(spark, sf):
+    """The real politeness scheduler over a synthetic frontier (rows-only:
+    exercised end-to-end; SQL twin is q_politeness_budget)."""
+    from npm_search_spark.frontier import politeness_schedule
+    from npm_search_spark.functions.urls import url_host
+
+    e = _t(spark, sf, "events")
+    hosts = F.when(F.col("event_id") % 3 == 0, "registry.npmjs.org").when(
+        F.col("event_id") % 3 == 1, "cdn.jsdelivr.net"
+    ).otherwise("raw.githubusercontent.com")
+    frontier = e.select(
+        F.concat(F.lit("https://"), hosts, F.lit("/item/"), F.col("event_id")).alias("url"),
+        hosts.alias("host"),
+        F.col("value").alias("priority"),
+    )
+    return politeness_schedule(frontier, budget_multiplier=10).select(
+        "host", "url", F.round("priority", 6).alias("priority")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "key_ordered_scan": q_key_ordered_scan,
+        "total_sum": q_total_sum,
+        "last_wins_dedup": q_last_wins_dedup,
+        "topk_popular_rank": q_topk_popular_rank,
+        "downloads_magnitude": q_downloads_magnitude,
+        "broadcast_left_join": q_broadcast_left_join,
+        "anti_join_seen": q_anti_join_seen,
+        "min_by_race": q_min_by_race,
+        "politeness_budget": q_politeness_budget,
+        "retry_backoff": q_retry_backoff,
+        "scheduling_predicate": q_scheduling_predicate,
+        "distinct_facets": q_distinct_facets,
+        "array_distinct_names": q_array_distinct_names,
+        "candidate_explode": q_candidate_explode,
+        "gravatar_md5": q_gravatar_md5,
+        "epoch_millis": q_epoch_millis,
+        "day_rounding": q_day_rounding,
+        "downloads_ratio": q_downloads_ratio,
+        "human_number": q_human_number,
+        "changelog_regex": q_changelog_regex,
+        "repo_url_parse": q_repo_url_parse,
+        "url_canonicalize": q_url_canonicalize,
+        "watermark_max_seq": q_watermark_max_seq,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "multimodal_decode": q_multimodal_decode,
+        "frontier_schedule": q_frontier_schedule,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DOCS_DUPS_SQL = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_GRAMS_SQL = f"""
+    (SELECT doc_id,
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+     FROM (SELECT doc_id,
+                  list_filter(string_split({_NORM_SQL}, ' '), x -> x != '') AS toks
+           FROM {_DOCS_DUPS_SQL}))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = "['the','a','of','and','to','in','is','that','it','for']"
+    sw_map = {
+        "en": "['the','a','of','and','to','in','is','that','it','for']",
+        "es": "['el','la','de','y','que','en','un','una','los','por']",
+        "fr": "['le','la','de','et','que','en','un','une','les','pour']",
+        "de": "['der','die','das','und','zu','in','ist','ein','eine','von']",
+    }
+    toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+    def ratio(lang):
+        return (
+            f"(CASE WHEN len({toks}) > 0 THEN "
+            f"len(list_filter({toks}, x -> list_contains({sw_map[lang]}, x)))::DOUBLE / len({toks}) "
+            f"ELSE 0.0 END)"
+        )
+
+    lang_case = (
+        "(SELECT min(l) FROM (VALUES "
+        + ", ".join(f"('{lang}', {ratio(lang)})" for lang in sorted(sw_map))
+        + ") AS t(l, s) WHERE s = greatest("
+        + ", ".join(ratio(lang) for lang in sorted(sw_map))
+        + "))"
+    )
+
+    return {
+        "key_ordered_scan": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            WHERE o_orderkey > 100 ORDER BY o_orderkey LIMIT 100
+        """,
+        "total_sum": """
+            SELECT round(sum(l_quantity), 2) AS total_qty, count(*) AS n_rows
+            FROM lineitem
+        """,
+        "last_wins_dedup": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "topk_popular_rank": """
+            SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                   (row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) <= 1000)
+                     AS popular
+            FROM customer
+        """,
+        "downloads_magnitude": """
+            SELECT o_orderkey,
+                   length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR))::INT
+                     AS magnitude,
+                   greatest(length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)) - 3,
+                            0)::INT AS popularity
+            FROM orders
+        """,
+        "broadcast_left_join": """
+            SELECT coalesce(c_mktsegment, 'none') AS segment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "anti_join_seen": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "min_by_race": """
+            SELECT o_custkey, first_orderkey FROM (
+              SELECT o_custkey, o_orderkey AS first_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "politeness_budget": """
+            SELECT event_type, event_id, round(value, 6) AS priority FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events)
+            WHERE rn <= CASE event_type WHEN 'click' THEN 6
+                                        WHEN 'view' THEN 20 ELSE 10 END
+        """,
+        "retry_backoff": """
+            SELECT event_id, (event_id % 6)::INT AS retries,
+                   least(pow(event_id % 6 + 1, 3), 60)::BIGINT AS backoff_s
+            FROM events
+        """,
+        "scheduling_predicate": """
+            SELECT event_type, count(*) AS n_eligible FROM events
+            WHERE event_type IN ('click', 'purchase') AND value > 10
+            GROUP BY event_type
+        """,
+        "distinct_facets": """
+            SELECT DISTINCT o_orderstatus AS facet FROM orders
+            ORDER BY facet LIMIT 1000
+        """,
+        "array_distinct_names": """
+            SELECT p_partkey,
+                   len(list_distinct(string_split(p_name, ' '))) AS n_unique_words,
+                   len(string_split(p_name, ' ')) AS n_words
+            FROM part
+        """,
+        "candidate_explode": """
+            SELECT p_partkey, r.rank, r.candidate
+            FROM part CROSS JOIN
+                 (VALUES (1, 'CHANGELOG.md'), (2, 'HISTORY.md'), (3, 'RELEASES.md'))
+                   AS r(rank, candidate)
+            WHERE p_partkey <= 200
+        """,
+        "gravatar_md5": """
+            SELECT c_custkey,
+                   'https://gravatar.com/avatar/' || md5(lower(trim(c_name))) AS gravatar
+            FROM customer
+        """,
+        "epoch_millis": """
+            SELECT o_orderkey, epoch_ms(o_orderdate::TIMESTAMP) AS epoch_ms FROM orders
+        """,
+        "day_rounding": """
+            SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "downloads_ratio": """
+            SELECT o_orderkey,
+                   round(o_totalprice / sum(o_totalprice) OVER () * 100, 4) AS ratio,
+                   (round(o_totalprice / sum(o_totalprice) OVER () * 100, 4) > 0.005)
+                     AS popular
+            FROM orders
+        """,
+        "human_number": """
+            SELECT o_orderkey,
+                   CASE
+                     WHEN floor(o_totalprice) >= 1e12 THEN
+                       regexp_replace(CAST(round(floor(o_totalprice)/1e12, 1) AS VARCHAR), '\\.0$', '') || 't'
+                     WHEN floor(o_totalprice) >= 1e9 THEN
+                       regexp_replace(CAST(round(floor(o_totalprice)/1e9, 1) AS VARCHAR), '\\.0$', '') || 'b'
+                     WHEN floor(o_totalprice) >= 1e6 THEN
+                       regexp_replace(CAST(round(floor(o_totalprice)/1e6, 1) AS VARCHAR), '\\.0$', '') || 'm'
+                     WHEN floor(o_totalprice) >= 1e3 THEN
+                       regexp_replace(CAST(round(floor(o_totalprice)/1e3, 1) AS VARCHAR), '\\.0$', '') || 'k'
+                     ELSE regexp_replace(CAST(round(floor(o_totalprice), 1) AS VARCHAR), '\\.0$', '')
+                   END AS human
+            FROM orders
+        """,
+        "changelog_regex": r"""
+            SELECT p_partkey, path,
+                   regexp_matches(
+                     path[length(path) - strpos(reverse(path), '/') + 2:],
+                     '^(?i)(((changelogs?)|changes|history|(releases?)))((.(md|markdown))?$)')
+                     AS is_changelog
+            FROM (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey % 3 = 0 THEN
+                       '/CHANGELOG' || (CASE WHEN p_partkey % 2 = 0 THEN '.md' ELSE '' END)
+                     ELSE
+                       '/' || string_split(p_name, ' ')[1]
+                            || (CASE WHEN p_partkey % 7 = 0 THEN '' ELSE '.md' END)
+                     END AS path
+              FROM part)
+        """,
+        "repo_url_parse": """
+            SELECT c_custkey, url,
+                   CASE WHEN h != '' THEN h END AS host,
+                   CASE WHEN h != '' THEN regexp_extract(url, '^https?://[^/]+/([^/]+)/', 1) END
+                     AS repo_user
+            FROM (
+              SELECT c_custkey, url,
+                     regexp_extract(url,
+                       '^https?://(?:www\\.)?((?:github|gitlab|bitbucket)\\.(?:com|org))/', 1) AS h
+              FROM (
+                SELECT c_custkey,
+                       CASE c_custkey % 3
+                         WHEN 0 THEN 'https://github.com/user' || c_custkey || '/proj'
+                         WHEN 1 THEN 'https://gitlab.com/user' || c_custkey || '/proj/tree/master/pkg'
+                         ELSE 'https://example.com/user' || c_custkey || '/proj'
+                       END AS url
+                FROM customer))
+        """,
+        "url_canonicalize": """
+            SELECT c_custkey,
+                   'https://registry.npmjs.org/pkg' || c_custkey AS canonical
+            FROM customer
+        """,
+        "watermark_max_seq": """
+            SELECT event_type, max(event_id) AS max_seq, max(ts) AS max_ts
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM_SQL.replace('text', 'text')}) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS keeper
+            FROM {_DOCS_DUPS_SQL}
+            GROUP BY 1 HAVING count(*) > 1
+            ORDER BY fingerprint
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH g AS (SELECT * FROM {_GRAMS_SQL})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+                     AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH g AS (SELECT * FROM {_GRAMS_SQL})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+            ORDER BY doc_a, doc_b
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))
+                     AS n_tokens,
+                   round(CASE WHEN len({toks}) > 0 THEN
+                     len(list_filter({toks}, x -> list_contains({sw}, x)))::DOUBLE / len({toks})
+                     ELSE 0.0 END, 6) AS stopword_ratio_en,
+                   round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                       / length(text)
+                     ELSE 0.0 END, 6) AS punct_ratio,
+                   md5({_NORM_SQL}) AS fingerprint
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {lang_case} AS lang_pred FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 5)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from npm_search_spark.session import get_spark
+
+    spark = get_spark("entry-smoke")
+    df = entry(spark)
+    df.show(10, truncate=False)

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+  brute-force cosine top-k   exact baseline: broadcast the query set,
+                             zip_with dot products (JVM-side), window top-k
+  LSH-bucketed ANN           random-hyperplane signatures -> bucket join ->
+                             top-k within bucket (the 100 TB scale path:
+                             the corpus is scanned once, shuffled only by
+                             bucket key, never all-pairs)
+
+Hyperplanes are derived deterministically from (plane index, dimension)
+hashes — reproducible across runs/cluster sizes with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query vector. The query set is broadcast;
+    the corpus is scanned once (no shuffle of the big side); ranking
+    shuffles only (n_queries x corpus) -> reduced per-query rows."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")), 6),
+        )
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane(plane_idx: int, dim: int):
+    """Deterministic pseudo-random unit-free hyperplane: component d =
+    (hash(plane, d) scaled to [-1, 1])."""
+    return F.array(
+        *[
+            (F.hash(F.lit(plane_idx), F.lit(d)).cast("double") / F.lit(2147483647.0))
+            for d in range(dim)
+        ]
+    )
+
+
+def lsh_signature(vec_col, dim: int, n_planes: int = N_PLANES):
+    """n_planes sign bits packed into a long bucket id."""
+    bits = [
+        F.when(_dot(vec_col.cast("array<double>"), hyperplane(p, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + (b.cast("long") * F.lit(2**i).cast("long"))
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane-sign
+    bucket; exact cosine ranks within the bucket. Recall/latency tuned by
+    n_planes (fewer planes -> bigger buckets -> higher recall)."""
+    sig = lambda v: lsh_signature(v, dim, n_planes)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
+    LSH-bucketed so the pair search is bucket-local."""
+    c = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    d = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    return (
+        c.join(d, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+        .distinct()
+    )

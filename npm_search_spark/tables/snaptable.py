@@ -176,6 +176,15 @@ class SnapTable:
         merged = kept.unionByName(landing)
         return self.overwrite(merged, meta=meta)
 
+    def rollback(self, snapshot_id: int | None) -> int | None:
+        """Make ``snapshot_id`` (or the empty table when None) the visible
+        state again via a new commit whose file list is that snapshot's —
+        used by checkpoint resume to discard a half-applied generation."""
+        if snapshot_id == self.current_snapshot_id():
+            return snapshot_id
+        files = [] if snapshot_id is None else self.snapshot(snapshot_id).files
+        return self._commit("rollback", files, {"to": snapshot_id})
+
     def delete_where(
         self, spark: SparkSession, predicate: str, meta: dict[str, Any] | None = None
     ) -> int:
