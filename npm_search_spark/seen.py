@@ -191,7 +191,11 @@ class SeenSet:
                 b.might_contain(bucket.to_numpy(), key.to_numpy())
             )
 
-        cand = cand.withColumn("_maybe", maybe_seen(F.col("bucket"), F.col("key")))
+        # materialize once: both branches below consume this plan, and the
+        # politeness/bloom upstream must not re-execute per branch
+        cand = cand.withColumn(
+            "_maybe", maybe_seen(F.col("bucket"), F.col("key"))
+        ).localCheckpoint(eager=False)
         sure_new = cand.filter(~F.col("_maybe"))
         suspects = cand.filter(F.col("_maybe"))
 
@@ -225,19 +229,15 @@ class SeenSet:
             .dropDuplicates(["key"])
             .repartition(F.col("bucket"))
             .sortWithinPartitions("bucket", "key")
+            .localCheckpoint(eager=False)
         )
         sid = self.table.append(rows, meta={"op": "seen-add"})
         if self._bloom is not None and self._bloom_snapshot == prev_snap:
             # incremental: fold only the appended batch into the cached bloom
-            self._bloom.merge(self._bloom_of(self.table.read(spark, snapshot_id=sid)
-                                             if prev_snap is None
-                                             else spark.read.parquet(*self._new_files(prev_snap, sid))))
+            # (rows is checkpointed above, so this does not re-run the plan)
+            self._bloom.merge(self._bloom_of(rows))
             self._bloom_snapshot = sid
         return sid
-
-    def _new_files(self, prev_snap: int, new_snap: int) -> list[str]:
-        prev = set(self.table.snapshot(prev_snap).files)
-        return [f for f in self.table.snapshot(new_snap).files if f not in prev]
 
     def count(self, spark: SparkSession) -> int:
         if self.table.current_snapshot_id() is None:

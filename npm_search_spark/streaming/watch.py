@@ -1,0 +1,164 @@
+"""Watch mode: incremental replication crawl via Structured Streaming.
+
+Re-creates the reference's watch stage (src/watch.ts:57-199):
+
+  ChangesReader long-poll      readStream over the append-only changes
+                               table; limit:10/poll -> maxFilesPerTrigger
+  last-wins per-batch dedup    groupBy(id).max_by(seq) (watch.ts:119-126)
+  queue upsert, newest wins    frontier MERGE by url (J7)
+  deletes                      packages MERGE DELETE (S13)
+  store-then-advance           foreachBatch commits all tables, then the
+                               seq watermark; the streaming checkpoint
+                               advances only after the batch returns (T2 —
+                               exactly the reference's pause->store->ack)
+
+The per-batch body reuses the bootstrap generation function — state lives
+in tables, none in the JVM, matching the reference's "state lives in the
+index" philosophy (src/StateManager.ts:45-69).
+
+Change-event identity: a changed package must be re-fetched even though
+its registry URL was crawled during bootstrap, while a *replayed* change
+(crash/redelivery) must dedup. The frontier row for a change therefore
+carries the seq in the URL query (?_seq=N): the URL-seen set then gives
+exactly once-per-change semantics. Version-pinned hop-2/hop-3 URLs stay
+seq-free — immutable content dedups across changes, which is correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..frontier import Crawl, registry_url
+from ..functions.urls import canonicalize_url, url_host
+from ..schema import CHANGES, FRONTIER
+from ..state import CrawlState
+
+
+def dedup_last_wins(changes: DataFrame) -> DataFrame:
+    """Keep the newest change per package id (A2)."""
+    return (
+        changes.groupBy("id")
+        .agg(F.max_by(F.struct("seq", "deleted", "rev"), "seq").alias("c"))
+        .select("id", "c.seq", "c.deleted", "c.rev")
+    )
+
+
+def change_frontier_rows(crawl: Crawl, upserts: DataFrame) -> DataFrame:
+    dl = crawl.universe["npm_downloads"]
+    url = F.concat(
+        registry_url(F.col("id")), F.lit("?_seq="), F.col("seq").cast("string")
+    )
+    return (
+        upserts.join(
+            F.broadcast(dl.withColumnRenamed("name", "id")), "id", "left"
+        )
+        .select(
+            canonicalize_url(url).alias("url"),
+            F.lit("registry.npmjs.org").alias("host"),
+            F.lit("registry_doc").alias("kind"),
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("downloads_last_30d"), F.lit(0)).cast("double").alias("priority"),
+            F.lit(0).alias("retries"),
+            F.lit("pending").alias("state"),
+            F.lit(None).cast("timestamp").alias("next_attempt_at"),
+            F.col("seq"),
+            F.struct(
+                F.spark_partition_id().alias("partition_id"),
+                F.lit(0).cast("long").alias("snapshot_id"),
+                F.lit(-1).alias("generation"),
+            ).alias("lineage"),
+        )
+    )
+
+
+class Watch:
+    def __init__(
+        self,
+        crawl: Crawl,
+        changes_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        generations_per_batch: int = 6,
+    ):
+        self.crawl = crawl
+        self.changes_dir = changes_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.generations_per_batch = generations_per_batch
+        self._generation = (crawl.state.load() or CrawlState()).generation
+
+    # -- per-batch body (also usable in batch mode/tests) ---------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        crawl, spark = self.crawl, self.crawl.spark
+        deduped = dedup_last_wins(batch).cache()
+        if not deduped.take(1):
+            return
+
+        # deletes: drop from packages + quarantine note (reference
+        # MainWatchIndexer.ts:80-81)
+        deletes = deduped.where(F.col("deleted"))
+        if deletes.take(1):
+            kept = crawl.packages.read(spark).join(
+                F.broadcast(deletes.select(F.col("id").alias("objectID"))),
+                "objectID",
+                "left_anti",
+            )
+            crawl.packages.overwrite(kept, meta={"op": "watch-delete", "batch": batch_id})
+
+        # upserts: enqueue newest-change frontier rows (J7 newest wins via
+        # URL-seen once-per-seq identity), then drain with the same
+        # generation function bootstrap uses
+        upserts = deduped.where(~F.col("deleted"))
+        if upserts.take(1):
+            rows = change_frontier_rows(crawl, upserts)
+            existing = crawl.frontier.read(spark)
+            crawl.frontier.overwrite(
+                existing.unionByName(
+                    rows.join(existing.select("url"), "url", "left_anti").select(
+                        *[f.name for f in FRONTIER.fields]
+                    )
+                ),
+                meta={"op": "watch-enqueue", "batch": batch_id},
+            )
+            for _ in range(self.generations_per_batch):
+                self._generation += 1
+                m = crawl.run_generation(self._generation)
+                if m["scheduled"] == 0:
+                    break
+
+        # store-then-advance: the seq watermark commits only after every
+        # table write above has landed (T1/T2)
+        max_seq = deduped.agg(F.max("seq")).first()[0]
+        crawl.state.save(
+            CrawlState(
+                generation=self._generation,
+                seq=int(max_seq),
+                stage="watch",
+                bootstrap_done=True,
+                snapshots=crawl._snapshots(),
+                metrics={"batch_id": batch_id},
+            )
+        )
+        deduped.unpersist()
+
+    # -- streaming wrapper -----------------------------------------------------
+
+    def run_available_now(self):
+        """Consume everything currently in the changes table, then stop
+        (the test/cron trigger; production uses processingTime)."""
+        spark = self.crawl.spark
+        stream = (
+            spark.readStream.schema(CHANGES)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.changes_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q

@@ -1,0 +1,125 @@
+"""Training-data pipeline ops: dedup recall on crafted near-dups, ANN
+recall vs brute force, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some tasty food for the winter "
+        "season while the snow falls quietly on the silent frozen ground"
+    )
+    words = base.split()
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, " ".join(words[:-2])),  # near dup of 1 (high jaccard)
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "another unrelated text mentioning catalysts and tungsten engines"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+class TestDedup:
+    def test_exact(self, spark, near_dup_docs):
+        from npm_search_spark.pipeline.dedup import dedup_exact, exact_duplicates
+
+        groups = exact_duplicates(near_dup_docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["doc_ids"] == [1, 2]
+        assert dedup_exact(near_dup_docs).count() == 4
+
+    def test_ngram_jaccard(self, spark, near_dup_docs):
+        from npm_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_finds_exact_and_near(self, spark, near_dup_docs):
+        from npm_search_spark.pipeline.dedup import minhash_lsh_dedup_pairs
+
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup_pairs(near_dup_docs, threshold=0.8).collect()
+        }
+        assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) in pairs
+        assert all(a not in (4, 5) and b not in (4, 5) for a, b in pairs)
+
+    def test_simhash(self, spark, near_dup_docs):
+        from npm_search_spark.pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(near_dup_docs).collect()}
+        assert sigs[1] == sigs[2]  # identical text -> identical signature
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(near_dup_docs, max_hamming=6).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs  # near dup within hamming 6
+        assert (4, 5) not in pairs
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_brute_force(self, spark, sf_dir):
+        from npm_search_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(e.select("embedding").first()[0])
+        q = e.where(F.col("vec_id") < 3)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(e, q, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann_topk(e, q, dim=dim, k=5, n_planes=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.4  # 4 planes / 16 buckets on tiny corpus
+
+    def test_brute_force_self_excluded(self, spark, sf_dir):
+        from npm_search_spark.pipeline.similarity import cosine_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.where(F.col("vec_id") < 2)
+        out = cosine_topk(e, q, k=3)
+        assert out.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+        per_q = out.groupBy("query_id").count().collect()
+        assert all(r["count"] == 3 for r in per_q)
+
+
+class TestMultimodal:
+    def test_plumbing_shapes(self, spark):
+        from npm_search_spark.pipeline.multimodal import (
+            decode_media,
+            frame_sample,
+            media_rows_from_spans,
+        )
+        from npm_search_spark.sources import synthetic as SYN
+
+        docs = SYN.documents(spark, 50, partitions=2)
+        media = media_rows_from_spans(docs)
+        assert media.where(F.col("payload").isNull()).count() == 0
+        decoded = decode_media(media)
+        rows = decoded.collect()
+        assert rows and all(len(r["feature"]) == 8 for r in rows)
+        # deterministic: same payload -> same feature
+        d2 = {(r["doc_id"], r["media_ref"]): r["feature"] for r in decode_media(media).collect()}
+        d1 = {(r["doc_id"], r["media_ref"]): r["feature"] for r in rows}
+        assert d1 == d2
+        videos = decoded.where(F.col("media_type") == "video")
+        if videos.take(1):
+            fs = frame_sample(decoded, every_n=8)
+            assert fs.count() > 0

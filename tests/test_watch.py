@@ -1,0 +1,89 @@
+"""Watch mode: last-wins dedup, deletes, change-driven re-crawl, seq
+watermark, checkpointed exactly-once over the changes stream."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_search_spark.frontier import Crawl
+from npm_search_spark.schema import CHANGES
+from npm_search_spark.sources import synthetic as SYN
+from npm_search_spark.streaming.watch import Watch, dedup_last_wins
+
+N_DOCS = 30
+
+
+@pytest.fixture(scope="module")
+def universe(spark):
+    return {k: v.cache() for k, v in SYN.universe(spark, N_DOCS, partitions=2).items()}
+
+
+@pytest.fixture()
+def bootstrapped(spark, universe, tmp_path):
+    c = Crawl(
+        spark, str(tmp_path / "crawl"), universe, 10_000_000,
+        budget_multiplier=100, backoff_scale=0.01,
+    )
+    c.seed(universe["raw_docs"].select("doc_id"))
+    c.run_bootstrap(max_generations=40, log=None)
+    return c
+
+
+def test_dedup_last_wins(spark):
+    rows = [
+        (1, "a", False, "r1"),
+        (2, "a", False, "r2"),
+        (3, "b", True, "r3"),
+    ]
+    got = {
+        r["id"]: (r["seq"], r["deleted"])
+        for r in dedup_last_wins(spark.createDataFrame(rows, CHANGES)).collect()
+    }
+    assert got == {"a": (2, False), "b": (3, True)}
+
+
+def test_watch_applies_changes(spark, universe, bootstrapped, tmp_path):
+    c = bootstrapped
+    pkgs_before = c.packages.read(spark)
+    some = [r["objectID"] for r in pkgs_before.select("objectID").orderBy("objectID").limit(4).collect()]
+    deleted_pkg, updated_pkg = some[0], some[1]
+
+    changes_dir = str(tmp_path / "changes")
+    os.makedirs(changes_dir)
+    batch1 = [
+        (101, updated_pkg, False, "rev-x"),
+        (102, updated_pkg, False, "rev-y"),   # duplicate id -> last wins
+        (103, deleted_pkg, True, "rev-z"),
+    ]
+    spark.createDataFrame(batch1, CHANGES).coalesce(1).write.mode("append").parquet(changes_dir)
+
+    w = Watch(c, changes_dir, str(tmp_path / "ckpt"))
+    w.run_available_now()
+
+    pkgs = c.packages.read(spark)
+    assert pkgs.where(F.col("objectID") == deleted_pkg).count() == 0
+    assert pkgs.where(F.col("objectID") == updated_pkg).count() == 1
+    st = c.state.load()
+    assert st.stage == "watch"
+    assert st.seq == 103
+
+    # once-per-change: exactly one frontier row for seq 102, none for 101
+    fr = c.frontier.read(spark)
+    assert fr.where(F.col("url").contains("_seq=102")).count() == 1
+    assert fr.where(F.col("url").contains("_seq=101")).count() == 0
+
+    # replay the same files through the same checkpoint: no-op
+    n_before = pkgs.count()
+    Watch(c, changes_dir, str(tmp_path / "ckpt")).run_available_now()
+    assert c.packages.read(spark).count() == n_before
+    assert c.state.load().seq == 103
+
+    # a second batch re-touches the deleted package: it comes back
+    batch2 = [(104, deleted_pkg, False, "rev-w")]
+    spark.createDataFrame(batch2, CHANGES).coalesce(1).write.mode("append").parquet(changes_dir)
+    Watch(c, changes_dir, str(tmp_path / "ckpt")).run_available_now()
+    assert c.packages.read(spark).where(F.col("objectID") == deleted_pkg).count() == 1
+    assert c.state.load().seq == 104
