@@ -298,13 +298,15 @@ def normalize_doc(doc: Any) -> dict[str, Any] | None:
     under ``other``."""
     if not isinstance(doc, dict):
         return None
-    merged = dict(doc)
+    # doc-wins merge: top-level doc fields shadow the latest version's
+    # (observed in the reference's security-held fixture, where the doc's
+    # repository overrides the version's — formatPkg.test.ts:891-941)
     latest = (doc.get("dist-tags") or {}).get("latest")
     versions = doc.get("versions") or {}
     if latest and isinstance(versions, dict) and isinstance(versions.get(latest), dict):
-        merged.update(versions[latest])
-        if not merged.get("name"):  # falsy version name never clobbers the doc name
-            merged["name"] = doc.get("name")
+        merged = {**versions[latest], **doc}
+    else:
+        merged = dict(doc)
 
     time_map = doc.get("time") or {}
     if isinstance(time_map, dict):

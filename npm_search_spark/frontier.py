@@ -16,11 +16,11 @@ as a generation loop of pure DataFrame stages over SnapTables:
              snapshot ids, metrics, per-partition lineage
 
 Scale design (10^10 frontier):
-- Politeness top-k is two-phase: rank within (host, salt) first — the
-  frontier has only ~5 hosts, so a single window partition per host would
-  funnel 10^10 rows through ~5 tasks; salting caps phase-1 partitions at
-  pending/N_SALTS rows, phase 2 ranks only <= N_SALTS x budget survivors
-  (explicit skew salting per the north rule).
+- Politeness top-k is a distributed exact top-k (range-partitioned sort +
+  driver-side prefix offsets + budget-pruned ranking) — the frontier has
+  only ~5 hosts, so a naive per-host window would funnel 10^10 rows
+  through ~5 tasks; the range shuffle spreads each hot host across the
+  whole cluster (the explicit skew handling the north rule demands).
 - The frontier table is only ever touched via pending-state filters
   (partition-pruned parquet scans) and MERGE rewrites of matched rows.
 - All joins against the packages table go through doc_id equi-joins;
@@ -77,35 +77,76 @@ def politeness_schedule(
     budgets: dict[str, int] | None = None,
     default_budget: int = 6,
     budget_multiplier: int = 1,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Exact top-budget rows per host under (priority DESC, url ASC) — the
     T7 politeness-bucket operator.
 
     Scale design: a naive Window.partitionBy(host) funnels each hot host's
-    entire pending set (10^9+ rows for 3 hot hosts) through one partition.
-    Two-phase salted ranking instead (explicit skew salting, north rule):
-    phase 1 ranks within (host, xxhash64(url) % N_SALTS) — N_SALTS-way
-    parallel per host, does all the heavy sorting; phase 2 exact-ranks the
-    <= N_SALTS x budget survivors. Exact for any budget; scales with cores
-    as long as budget << pending/N_SALTS (the realistic crawl regime:
-    budget = rate x trigger seconds). Deterministic: ties broken by url,
-    salt derived from url."""
+    entire pending set (10^9+ rows for 3 structurally hot hosts) through a
+    single partition — the frontier's skew problem. Distributed exact
+    top-k instead:
+
+      1. repartitionByRange on (host, priority DESC, url) — a parallel
+         global sort; each host occupies a contiguous partition run;
+      2. per-(partition, host) counts collected to the driver (tiny);
+         cumulative offsets identify the prefix partitions that can still
+         contain top-budget rows — everything past the budget is pruned
+         before any ranking;
+      3. exact row_number within the surviving prefix + offset = global
+         rank; filter to <= budget.
+
+    The only full-data operation is the range shuffle (linear, scales with
+    executors); ranking touches O(budget) rows no matter how large pending
+    is. Output is the exact top-budget per host under (priority DESC,
+    url ASC), independent of input partitioning — deterministic replay
+    (ties broken by url)."""
     budgets = budgets or DEFAULT_BUDGETS
+    spark = pending.sparkSession
+
+    def host_budget(host: str) -> int:
+        return budgets.get(host, default_budget) * budget_multiplier
+
     budget_map = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
     budget = (
         F.coalesce(budget_map[F.col("host")], F.lit(default_budget))
         * budget_multiplier
     )
-    salt = F.pmod(F.xxhash64("url"), F.lit(N_SALTS))
-    w1 = Window.partitionBy("host", salt).orderBy(F.desc("priority"), F.asc("url"))
-    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+
+    n_part = n_partitions or spark.sparkContext.defaultParallelism * 2
+    # 1. parallel global sort: range-partition by the schedule order. Each
+    #    host's rows land in a contiguous run of partitions. Checkpoint pins
+    #    partition ids for the offset computation below.
+    ranged = (
+        pending.repartitionByRange(
+            n_part, F.col("host"), F.desc("priority"), F.asc("url")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # 2. tiny driver-side pass: per-(partition, host) counts -> cumulative
+    #    offsets; partitions whose offset already exceeds the host budget
+    #    are pruned entirely (the window below only ever sees O(budget)
+    #    rows, however big pending is).
+    counts = ranged.groupBy("_pid", "host").count().collect()
+    counts.sort(key=lambda r: (r["host"], r["_pid"]))
+    offsets: list[tuple[int, str, int]] = []
+    acc: dict[str, int] = {}
+    for r in counts:
+        off = acc.get(r["host"], 0)
+        if off < host_budget(r["host"]):
+            offsets.append((r["_pid"], r["host"], off))
+        acc[r["host"]] = off + r["count"]
+    if not offsets:
+        return pending.limit(0)
+    off_df = spark.createDataFrame(offsets, "_pid int, host string, _off long")
+    # 3. exact rank on the surviving prefix partitions only
+    w = Window.partitionBy("_pid", "host").orderBy(F.desc("priority"), F.asc("url"))
     return (
-        pending.withColumn("_rn1", F.row_number().over(w1))
-        .where(F.col("_rn1") <= budget)  # phase 1: per-salt top-B (exact superset)
-        .drop("_rn1")
-        .withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") <= budget)   # phase 2: exact top-B on <= SALTS*B rows
-        .drop("_rn")
+        ranged.join(F.broadcast(off_df), ["_pid", "host"])
+        .withColumn("_grank", F.row_number().over(w) + F.col("_off"))
+        .where(F.col("_grank") <= budget)
+        .drop("_pid", "_off", "_grank")
     )
 
 

@@ -109,35 +109,48 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(grams_col):
-    """NUM_PERM-wide signature: min over murmur3(gram, seed_i) per
-    permutation — pure column expressions, evaluated JVM-side."""
-    return F.array(
-        *[
-            F.array_min(F.transform(grams_col, lambda g: F.hash(g, F.lit(i))))
-            for i in range(NUM_PERM)
-        ]
+    """NUM_PERM-wide signature: min over murmur3(gram, perm_idx) per
+    permutation — a single nested transform so the (possibly expensive)
+    grams expression is evaluated once per row, not once per permutation
+    (64 inlined copies blow codegen up ~100x)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+        lambda i: F.array_min(F.transform(grams_col, lambda g: F.hash(g, i))),
     )
+
+
+def doc_grams(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, grams) materialized once — the signature transform iterates
+    64 permutations over it, so an inline grams expression would be
+    re-evaluated 64x per row."""
+    return df.select(
+        F.col("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).localCheckpoint(eager=False)
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, n: int = 3, text_col: str = "text"
+    df: DataFrame, n: int = 3, text_col: str = "text", grams: DataFrame | None = None
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH band bucket."""
     rows = NUM_PERM // BANDS
-    sig = df.select(
-        "doc_id", minhash_signature(word_ngrams(F.col(text_col), n)).alias("sig")
-    )
+    if grams is None:
+        grams = doc_grams(df, n, text_col)
+    sig = grams.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
+    # one transform referencing sig once — per-band F.array(...) expressions
+    # would re-inline the whole signature computation per band after
+    # projection collapse (BANDS x NUM_PERM blowup)
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]))
-                    for b in range(BANDS)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.hash(F.slice(F.col("sig"), b * rows + 1, rows)),
             )
         ).alias("band", "bucket"),
-    )
+    ).localCheckpoint(eager=False)
+    # materialized: the self-join below would otherwise duplicate the whole
+    # signature pipeline per side and the combined expression tree blows
+    # past codegen limits (observed ~60x slowdown)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -156,10 +169,8 @@ def minhash_lsh_dedup_pairs(
     df: DataFrame, threshold: float = 0.9, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — final near-dup pairs."""
-    cands = minhash_lsh_candidates(df, n, text_col)
-    grams = df.select(
-        F.col("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
-    )
+    grams = doc_grams(df, n, text_col)
+    cands = minhash_lsh_candidates(df, n, text_col, grams=grams)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     return (

@@ -55,8 +55,31 @@ def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> Iterator[np.ndarr
         yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
 
 
+class DenseBloom:
+    """All bucket shards in one contiguous (n_buckets, m/64) uint64 matrix —
+    a single zero-copy-pickled buffer, so per-worker broadcast
+    deserialization is a memcpy, not a dict of small arrays. Membership is
+    one vectorized gather across the whole Arrow batch."""
+
+    def __init__(self, m_bits: int, k: int, n_buckets: int):
+        self.m = m_bits
+        self.k = k
+        self.bits = np.zeros((n_buckets, m_bits // 64), dtype=np.uint64)
+
+    def merge_shard(self, bucket: int, shard: np.ndarray) -> None:
+        self.bits[bucket] |= shard
+
+    def might_contain(self, buckets: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        hit = np.ones(len(keys), dtype=bool)
+        b = buckets.astype(np.int64)
+        for pos in _bloom_positions(keys, self.m, self.k):
+            words = self.bits[b, pos >> 6]
+            hit &= (words >> (pos & 63).astype(np.uint64)) & np.uint64(1) != 0
+        return hit
+
+
 class BloomShards:
-    """bucket -> packed uint64 bitmap."""
+    """bucket -> packed uint64 bitmap (executor-side partial builds)."""
 
     def __init__(self, m_bits_per_shard: int, k: int):
         self.m = m_bits_per_shard
@@ -107,14 +130,14 @@ class SeenSet:
         self.table = SnapTable(root, schema)
         self.n_buckets = n_buckets
         self.m, self.k = _bloom_params(expected_keys_per_bucket, fp_rate)
-        self._bloom: BloomShards | None = None
+        self._bloom: DenseBloom | None = None
         self._bloom_snapshot: int | None = None
+        self._bloom_bc = None  # cached spark broadcast of the dense bloom
 
     # -- bloom maintenance ---------------------------------------------------
 
-    def _bloom_of(self, df: DataFrame) -> BloomShards:
-        """Per-partition numpy bitmaps via mapInArrow, OR-merged driver-side."""
-        bloom = BloomShards(self.m, self.k)
+    def _shards_of(self, df: DataFrame) -> list:
+        """Per-partition numpy bitmaps via mapInArrow -> (bucket, bits) rows."""
         df = df.select("bucket", "key")
         m, k = self.m, self.k
 
@@ -133,28 +156,37 @@ class SeenSet:
                     {"bucket": [b], "bits": [bm.tobytes()]}, schema=out_schema
                 )
 
-        rows = df.mapInArrow(build, schema="bucket int, bits binary").collect()
-        for r in rows:
-            shard = np.frombuffer(r["bits"], dtype=np.uint64)
-            if r["bucket"] in bloom.shards:
-                bloom.shards[r["bucket"]] = bloom.shards[r["bucket"]] | shard
-            else:
-                bloom.shards[r["bucket"]] = shard.copy()
-        return bloom
+        return df.mapInArrow(build, schema="bucket int, bits binary").collect()
 
-    def _bloom_current(self, spark: SparkSession) -> BloomShards:
+    def _fold_into_bloom(self, rows) -> None:
+        if self._bloom is None:
+            self._bloom = DenseBloom(self.m, self.k, self.n_buckets)
+        for r in rows:
+            self._bloom.merge_shard(r["bucket"], np.frombuffer(r["bits"], dtype=np.uint64))
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+            self._bloom_bc = None
+
+    def _bloom_current(self, spark: SparkSession) -> DenseBloom:
         """Rebuild from the full table only on a cold start / external
         snapshot change; ``add()`` keeps it incrementally up to date
         (O(batch) per micro-batch, not O(table))."""
         snap = self.table.current_snapshot_id()
         if self._bloom is None or self._bloom_snapshot != snap:
-            self._bloom = (
-                self._bloom_of(self.table.read(spark))
-                if snap is not None
-                else BloomShards(self.m, self.k)
-            )
+            self._bloom = DenseBloom(self.m, self.k, self.n_buckets)
+            self._bloom_bc = None
+            if snap is not None:
+                self._fold_into_bloom(self._shards_of(self.table.read(spark)))
             self._bloom_snapshot = snap
         return self._bloom
+
+    def _bloom_broadcast(self, spark: SparkSession):
+        """One broadcast per bloom version, reused across filter_unseen
+        calls (workers deserialize the dense buffer once, not per query)."""
+        self._bloom_current(spark)
+        if self._bloom_bc is None:
+            self._bloom_bc = spark.sparkContext.broadcast(self._bloom)
+        return self._bloom_bc
 
     # -- public API ------------------------------------------------------------
 
@@ -178,8 +210,7 @@ class SeenSet:
         if self.table.current_snapshot_id() is None:
             return cand.drop("key", "bucket")
 
-        bloom = self._bloom_current(spark)
-        bc = spark.sparkContext.broadcast(bloom)
+        bc = self._bloom_broadcast(spark)
         from pyspark.sql.pandas.functions import pandas_udf
 
         @pandas_udf("boolean")
@@ -235,7 +266,7 @@ class SeenSet:
         if self._bloom is not None and self._bloom_snapshot == prev_snap:
             # incremental: fold only the appended batch into the cached bloom
             # (rows is checkpointed above, so this does not re-run the plan)
-            self._bloom.merge(self._bloom_of(rows))
+            self._fold_into_bloom(self._shards_of(rows))
             self._bloom_snapshot = sid
         return sid
 
