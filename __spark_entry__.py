@@ -454,6 +454,17 @@ def q_ann_lsh_topk(spark, sf):
     return lsh_ann_topk(e, q, dim=dim, k=10, n_planes=6)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-cell approximate top-k (rows-only: literal centroid argmin is
+    engine-derived). The scale path beside LSH."""
+    from npm_search_spark.pipeline.similarity import ivf_ann_topk, ivf_centroids
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    cents = ivf_centroids(e, k=16)
+    return ivf_ann_topk(e, q, cents, k=10, nprobe=4)
+
+
 def q_embedding_dup_pairs(spark, sf):
     """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only)."""
     from npm_search_spark.pipeline.similarity import embedding_cosine_dup_pairs
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "multimodal_decode": q_multimodal_decode,
         "frontier_schedule": q_frontier_schedule,

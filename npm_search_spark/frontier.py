@@ -150,6 +150,23 @@ def politeness_schedule(
     )
 
 
+def apply_robots(df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split scheduled URLs into (allowed, blocked) by per-host robots.txt
+    disallow prefixes (north rule: politeness + robots). The rules table is
+    per-host and tiny -> broadcast join; prefix match is a JVM-side
+    higher-order exists over the disallow array."""
+    path = F.regexp_replace(F.col("url"), r"^[a-z+]+://[^/]+", "")
+    joined = df.join(
+        F.broadcast(robots.select("host", "disallow")), "host", "left"
+    )
+    blocked_cond = F.col("disallow").isNotNull() & F.exists(
+        "disallow", lambda p: path.startswith(p)
+    )
+    allowed = joined.where(~blocked_cond | F.col("disallow").isNull()).drop("disallow")
+    blocked = joined.where(blocked_cond).drop("disallow")
+    return allowed, blocked
+
+
 def registry_url(name_col) -> "F.Column":
     return F.concat(F.lit("https://registry.npmjs.org/"), name_col)
 
@@ -330,9 +347,20 @@ class Crawl:
         if n_scheduled == 0:
             return metrics
 
+        # robots.txt: disallowed URLs are terminal, never fetched
+        robots = self.universe.get("robots")
+        if robots is not None:
+            eligible, robots_blocked = apply_robots(scheduled, robots)
+            eligible = eligible.cache()
+            robots_blocked = robots_blocked.cache()
+            metrics["robots_blocked"] = robots_blocked.count()
+        else:
+            eligible, robots_blocked = scheduled, None
+            metrics["robots_blocked"] = 0
+
         # URL-seen dedup (J8): drop anything already crawled
-        fresh = self.seen.filter_unseen(spark, scheduled).cache()
-        metrics["deduped"] = n_scheduled - fresh.count()
+        fresh = self.seen.filter_unseen(spark, eligible).cache()
+        metrics["deduped"] = n_scheduled - metrics["robots_blocked"] - fresh.count()
 
         reg = fresh.where(F.col("kind") == "registry_doc")
         fl = fresh.where(F.col("kind") == "file_list")
@@ -501,10 +529,14 @@ class Crawl:
             F.max_by("_new_state", F.when(F.col("_new_state") == "done", 0).otherwise(1)).alias("_new_state")
         )
         # dedup-dropped scheduled rows are terminal duplicates
-        dup = scheduled.join(fresh.select("url"), "url", "left_anti").select("url").withColumn(
+        dup = eligible.join(fresh.select("url"), "url", "left_anti").select("url").withColumn(
             "_new_state", F.lit("dup")
         )
         upd = upd.unionByName(dup)
+        if robots_blocked is not None:
+            upd = upd.unionByName(
+                robots_blocked.select("url").withColumn("_new_state", F.lit("robots_blocked"))
+            )
 
         fr_new = (
             fr.join(F.broadcast(upd), "url", "left")

@@ -123,6 +123,94 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid seed: the k corpus vectors with the smallest
+    xxhash64(id) — reproducible across runs and cluster sizes without RNG
+    or iterative k-means (good enough as coarse quantizer cells; swap in
+    k-means refinement when recall targets demand it)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r[vec_col])) for r in rows]
+
+
+def _sq_l2(vec_col, lit_vec: list[float]):
+    lit_arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cell(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid cell id (argmin over literal centroids)."""
+    entries = F.array(
+        *[
+            F.struct(_sq_l2(vec_col.cast("array<double>"), c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(entries)["cid"]
+
+
+def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
+    """The nprobe nearest cells for a query vector."""
+    entries = F.array(
+        *[
+            F.struct(_sq_l2(vec_col.cast("array<double>"), c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(entries), 1, nprobe), lambda e: e["cid"]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into coarse cells
+    (computed once — at scale, persisted with the table); each query probes
+    its nprobe nearest cells and ranks exactly within them. The corpus-side
+    cell assignment is a narrow map; the search shuffles only (cell) keys."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8,

@@ -240,6 +240,19 @@ def repo_changelogs(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema="name string, filename string")
 
 
+def robots(spark: SparkSession) -> DataFrame:
+    """Synthetic robots.txt rules per host: (host, disallow array of path
+    prefixes). Deterministic; blocks a recognizable slice of URLs so the
+    robots filter is exercised (gitlab raw paths of users ending in '7',
+    one jsDelivr scope)."""
+    rows = [
+        ("gitlab.com", ["/user-7", "/user-17", "/user-27"]),
+        ("cdn.jsdelivr.net", ["/npm/@angular/"]),
+        ("bitbucket.org", ["/user-99"]),
+    ]
+    return spark.createDataFrame(rows, "host string, disallow array<string>")
+
+
 def universe(spark: SparkSession, n: int, partitions: int | None = None) -> dict[str, DataFrame]:
     """The full synthetic crawl universe for a Crawl run."""
     d = dims(spark, n)
@@ -247,6 +260,7 @@ def universe(spark: SparkSession, n: int, partitions: int | None = None) -> dict
         "raw_docs": raw_docs(spark, n, partitions),
         "documents": documents(spark, n, partitions),
         "repo_changelogs": repo_changelogs(spark, n),
+        "robots": robots(spark),
         **d,
     }
 

@@ -85,6 +85,23 @@ class TestBootstrap:
         # retry/backoff path exercised: some rows have retries > 0
         assert fr.where(F.col("retries") > 0).count() > 0
 
+        # robots.txt rules enforced: blocked URLs are terminal, never fetched
+        n_blocked = sum(m.get("robots_blocked", 0) for m in metrics)
+        assert fr.where(F.col("state") == "robots_blocked").count() == n_blocked
+        if n_blocked:
+            blocked_urls = [
+                r["url"] for r in fr.where(F.col("state") == "robots_blocked").collect()
+            ]
+            assert all(
+                "/user-7" in u or "/user-17" in u or "/user-27" in u
+                or "/npm/@angular/" in u or "/user-99" in u
+                for u in blocked_urls
+            )
+            seen_urls = crawl.seen.table.read(spark)
+            assert seen_urls.join(
+                fr.where(F.col("state") == "robots_blocked").select("url"), "url", "left_semi"
+            ).count() == 0
+
         # seen set equals the successfully scheduled unique urls
         assert crawl.seen.count(spark) == fr.where(F.col("state") != "pending").join(
             fr.where(F.col("state") == "dup"), "url", "left_anti"

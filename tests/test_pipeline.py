@@ -126,3 +126,29 @@ class TestMultimodal:
         if videos.take(1):
             fs = frame_sample(decoded, every_n=8)
             assert fs.count() > 0
+
+
+class TestIVF:
+    def test_ivf_recall_and_cells(self, spark, sf_dir):
+        from npm_search_spark.pipeline.similarity import (
+            cosine_topk,
+            ivf_ann_topk,
+            ivf_centroids,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = ivf_centroids(e, k=8)
+        assert len(cents) == 8 and len(cents[0]) == len(e.first()["embedding"])
+        # determinism
+        assert cents == ivf_centroids(e, k=8)
+        q = e.where(F.col("vec_id") < 3)
+        exact = {
+            (r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()
+        }
+        approx_df = ivf_ann_topk(e, q, cents, k=5, nprobe=3)
+        approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2  # 3/8 cells probed on random vectors
+        # per-query result counts bounded by k
+        per_q = approx_df.groupBy("query_id").count().collect()
+        assert all(r["count"] <= 5 for r in per_q)

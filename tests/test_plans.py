@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the shapes that matter at 100 TB must be in
+the plan, not just in docstrings — broadcast joins on dims, no shuffle in
+narrow transform stages, filter/column pushdown into parquet scans."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_joins_are_broadcast(spark):
+    from npm_search_spark.enrich import enrich_packages, rank_jsdelivr_hits
+    from npm_search_spark.format_pkg import format_package
+    from npm_search_spark.schema import PACKAGE
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures", "preact.json")) as f:
+        doc = json.load(f)
+    rec = format_package(doc, 1, "2026-01-01T00:00:00.000Z")
+    rec["doc_id"] = rec["objectID"]
+    pkg_schema = "doc_id string, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in PACKAGE.fields
+    )
+    pkgs = spark.createDataFrame([rec], pkg_schema).withColumn(
+        "spans",
+        F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"),
+    )
+    hits = spark.createDataFrame([("preact", 5)], "name string, hits long")
+    dt = spark.createDataFrame([], "name string, types_name string")
+    dl = spark.createDataFrame([], "name string, downloads_last_30d long")
+    out = enrich_packages(pkgs, rank_jsdelivr_hits(hits), dt, dl, 100, 1)
+    plan = plan_of(out)
+    assert plan.count("BroadcastHashJoin") >= 3  # hits, dt, downloads
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderkey") > 100)
+        .select("o_orderkey", "o_custkey")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan
+    # column pruning: scan schema carries only the projected columns
+    assert "o_totalprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_seen_exact_check_never_shuffles_big_side(spark, tmp_path):
+    from npm_search_spark.seen import SeenSet
+
+    s = SeenSet(str(tmp_path / "seen"))
+    urls = spark.createDataFrame(
+        [(f"https://registry.npmjs.org/p{i}",) for i in range(50)], "url string"
+    )
+    s.add(spark, urls)
+    out = s.filter_unseen(spark, urls)
+    plan = plan_of(out)
+    # the seen-table side joins via broadcast of the candidates; no
+    # Exchange feeding the parquet scan of the seen table
+    seg = plan.split("Scan parquet")
+    assert len(seg) >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_span_functions(spark):
+    from npm_search_spark.functions import spans as SP
+    from npm_search_spark.schema import DOCUMENTS
+
+    df = spark.createDataFrame(
+        [{"doc_id": "x", "spans": [{"kind": "media", "text": "/CHANGELOG.md", "media_ref": "u", "offset": 0}]}],
+        DOCUMENTS,
+    ).select(SP.changelog_filename(F.col("spans")))
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # narrow map, no shuffle
+    assert "Python" not in plan  # JVM-side expressions, no row-wise Python
