@@ -64,7 +64,6 @@ DEFAULT_BUDGETS = {
 }
 MAX_RETRIES = 4          # reference src/config.ts:179 (retryMax)
 BACKOFF_CAP_S = 60       # reference src/config.ts:181-182
-N_SALTS = 32             # politeness pre-rank salt fan-out
 
 
 def backoff_seconds(retries_col):
@@ -371,10 +370,14 @@ class Crawl:
         # ---- registry_doc hop ------------------------------------------------
         reg_fetched = reg.join(self.universe["raw_docs"], "doc_id", "left").cache()
         # synthetic transient error: first attempt on ~1/modulus of URLs
-        # fails, the retry succeeds — exercises backoff + requeue (T5)
-        transient = (
-            F.pmod(F.xxhash64("url"), F.lit(self.transient_modulus)) == 0
-        ) & (F.col("retries") == 0)
+        # fails, the retry succeeds — exercises backoff + requeue (T5);
+        # modulus <= 1 disables failures entirely
+        if self.transient_modulus > 1:
+            transient = (
+                F.pmod(F.xxhash64("url"), F.lit(self.transient_modulus)) == 0
+            ) & (F.col("retries") == 0)
+        else:
+            transient = F.lit(False)
         not_found = F.col("raw_json").isNull() | (F.pmod(F.xxhash64("doc_id"), F.lit(41)) == 0)
 
         failed = reg_fetched.where(transient)
