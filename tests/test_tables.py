@@ -108,3 +108,36 @@ class TestSeenSet:
         s.add(spark, out2)
         assert s.filter_unseen(spark, self._urls(spark, all_urls)).count() == 0
         assert s.count(spark) == 300
+
+
+class TestMergeCopyOnWrite:
+    def test_untouched_files_carried_not_rewritten(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = SnapTable(str(tmp_path / "t"))
+        # two appends -> two disjoint file sets
+        t.append(spark.createDataFrame([(i, "a") for i in range(100)], "id int, v string").coalesce(1))
+        s1 = t.snapshot()
+        t.append(spark.createDataFrame([(i, "b") for i in range(100, 200)], "id int, v string").coalesce(1))
+        s2 = t.snapshot()
+        file_of_batch1 = set(s1.files)
+        # merge touching only batch-2 keys: batch-1 files must be carried verbatim
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(150, "B"), (999, "new")], "id int, v string"),
+            key="id",
+        )
+        s3 = t.snapshot()
+        assert s3.operation == "merge"
+        assert file_of_batch1 <= set(s3.files)  # untouched files identical paths
+        rewritten = set(s2.files) - set(s3.files)
+        assert rewritten  # the affected batch-2 file was replaced
+        got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+        assert got[150] == "B" and got[999] == "new" and got[0] == "a" and len(got) == 201
+
+    def test_merge_into_empty_table(self, spark, tmp_path):
+        from npm_search_spark.tables import SnapTable as ST
+
+        t = ST(str(tmp_path / "t2"))
+        t.merge_upsert(spark, spark.createDataFrame([(1, "x")], "id int, v string"), key="id")
+        assert t.read(spark).count() == 1
