@@ -108,13 +108,6 @@ class BloomShards:
             out[mask] = hit
         return out
 
-    def merge(self, other: "BloomShards") -> None:
-        for b, bm in other.shards.items():
-            if b in self.shards:
-                self.shards[b] |= bm
-            else:
-                self.shards[b] = bm
-
 
 class SeenSet:
     def __init__(
