@@ -95,10 +95,12 @@ def enrich_packages(
 
     jsdelivr_hits = F.coalesce(F.col("hits"), F.lit(0))
     hit_popular = F.coalesce(F.col("jsdelivr_popular"), F.lit(False))
-    # computeDownload (src/npm/index.ts:240-270): null when either is missing
-    has_dl = F.col("dl_30d").isNotNull() & (F.col("dl_30d") > 0) & F.lit(
-        total_npm_downloads or 0
-    ).cast("long").isNotNull() & (F.lit(total_npm_downloads or 0) > 0)
+    # computeDownload (src/npm/index.ts:240-270): no-op when either side of
+    # the ratio is missing/zero
+    if total_npm_downloads:
+        has_dl = F.col("dl_30d").isNotNull() & (F.col("dl_30d") > 0)
+    else:
+        has_dl = F.lit(False)
     dl_ratio = F.round(F.col("dl_30d") / F.lit(total_npm_downloads or 1) * 100, 4)
     dl_popular = has_dl & (dl_ratio > POPULAR_DOWNLOADS_RATIO)
     popular = dl_popular | hit_popular
