@@ -157,7 +157,10 @@ class SeenSet:
         for r in rows:
             self._bloom.merge_shard(r["bucket"], np.frombuffer(r["bits"], dtype=np.uint64))
         if self._bloom_bc is not None:
-            self._bloom_bc.destroy()
+            # unpersist, NOT destroy: lazy plans built before this update
+            # (e.g. the fresh batch reused after seen.add) may still
+            # reference the old broadcast and must be able to re-fetch it
+            self._bloom_bc.unpersist()
             self._bloom_bc = None
 
     def _bloom_current(self, spark: SparkSession) -> DenseBloom:
