@@ -355,12 +355,20 @@ def q_watermark_max_seq(spark, sf):
 
 def _docs_with_dups(spark, sf):
     """documents ∪ exact copies of every 10th doc (ids +1000000) — a
-    deterministic near-dup universe both engines can derive identically."""
+    deterministic near-dup universe both engines can derive identically.
+
+    The testdata parquet is a single row group (unsplittable), so the
+    CPU-heavy per-doc stages downstream would otherwise run on one or two
+    cores; fan the scan out to the cluster width first (at real scale the
+    input already has more splits than cores and the shuffle is the
+    ingest cost, not a hot loop)."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
     dups = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return d.unionByName(dups)
+    return d.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_exact(spark, sf):
@@ -804,6 +812,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": f"""
             SELECT doc_id, {lang_case} AS lang_pred FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(0.4 * least(n_tok / 100.0, 1.0)
+                       + 0.2 * least(sw_ratio * 4, 1.0)
+                       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.3 END)
+                       + 0.2 * (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.2 END),
+                       6) AS quality
+            FROM (
+              SELECT doc_id,
+                     len(toks) AS n_tok,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> list_contains({sw}, x)))::DOUBLE / len(toks)
+                       ELSE 0.0 END AS sw_ratio,
+                     CASE WHEN len(toks) > 0 THEN
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                       ELSE 0.0 END AS mwl,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                         / length(text)
+                       ELSE 0.0 END AS p_ratio
+              FROM (SELECT doc_id, text,
+                           list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                    FROM documents))
         """,
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (

@@ -21,8 +21,12 @@ Scale design (10^10 frontier):
   only ~5 hosts, so a naive per-host window would funnel 10^10 rows
   through ~5 tasks; the range shuffle spreads each hot host across the
   whole cluster (the explicit skew handling the north rule demands).
-- The frontier table is only ever touched via pending-state filters
-  (partition-pruned parquet scans) and MERGE rewrites of matched rows.
+- After seeding, the frontier table is only ever touched via pending-state
+  filters (pruned parquet scans), file-granular MERGE of the scheduled
+  batch (plan-asserted: no generation rewrites the whole table), appends
+  of new hop rows, and — with gc_terminal — MERGE-DELETE of
+  successfully-processed rows so table bytes track the active set, the way
+  the reference GCs isProcessed:1 queue rows (MainWatchIndexer.ts:51-61).
 - All joins against the packages table go through doc_id equi-joins;
   scheduled batches are micro-batch-sized, so they broadcast.
 
@@ -46,7 +50,7 @@ from .enrich import enrich_packages, rank_jsdelivr_hits
 from .format_pkg import format_packages_df
 from .functions import spans as SP
 from .functions.urls import canonicalize_url, url_host
-from .schema import FINAL_PACKAGE, FRONTIER
+from .schema import FINAL_PACKAGE, FRONTIER, ONE_TIME
 from .seen import SeenSet
 from .sources.synthetic import FILE_OPTIONS
 from .state import CrawlState, StateStore
@@ -64,11 +68,23 @@ DEFAULT_BUDGETS = {
 }
 MAX_RETRIES = 4          # reference src/config.ts:179 (retryMax)
 BACKOFF_CAP_S = 60       # reference src/config.ts:181-182
+HOST_PAUSE_S = 60        # 429/5xx: pause the whole host queue 1 min before
+                         # retrying (reference src/npm/index.ts:213-227,
+                         # src/changelog.ts:126-131) — a distinct retry
+                         # class: does NOT burn a retry attempt
+BOOTSTRAP_REDO_MS = 30 * 86_400_000  # redo the full bootstrap after 30 days
+                                     # (reference src/config.ts:173)
 
 
 def backoff_seconds(retries_col):
     """(retries+1)^3 seconds capped at 60 (reference src/utils/wait.ts:5-14)."""
     return F.least(F.pow(retries_col + 1, 3), F.lit(BACKOFF_CAP_S)).cast("long")
+
+
+# budgets at or below this use the shuffle-free partial-top-k path; above
+# it, survivor counts (partitions x budget) would exceed the pending set
+# itself and the range-shuffle path wins
+SMALL_BUDGET_MAX = 2048
 
 
 def politeness_schedule(
@@ -77,75 +93,180 @@ def politeness_schedule(
     default_budget: int = 6,
     budget_multiplier: int = 1,
     n_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact top-budget rows per host under (priority DESC, url ASC) — the
     T7 politeness-bucket operator.
 
     Scale design: a naive Window.partitionBy(host) funnels each hot host's
     entire pending set (10^9+ rows for 3 structurally hot hosts) through a
-    single partition — the frontier's skew problem. Distributed exact
-    top-k instead:
+    single partition — the frontier's skew problem. Two exact strategies,
+    picked by budget size:
 
+    - ``partial`` (production regime, per-host budget <= SMALL_BUDGET_MAX):
+      per-partition top-budget per host via one Arrow-vectorized narrow
+      pass (NO shuffle of pending at all), then an exact window over the
+      O(partitions x budget) survivors, then a broadcast join of the
+      winner URLs back to the full rows. The 10^10-row frontier is scanned,
+      never shuffled, never materialized.
+    - ``range`` (huge budgets, e.g. hour-long trigger windows):
       1. repartitionByRange on (host, priority DESC, url) — a parallel
-         global sort; each host occupies a contiguous partition run;
+         global sort; each host occupies a contiguous partition run
+         (spreading hot hosts across the cluster — the explicit skew
+         handling the north rule demands);
       2. per-(partition, host) counts collected to the driver (tiny);
-         cumulative offsets identify the prefix partitions that can still
-         contain top-budget rows — everything past the budget is pruned
-         before any ranking;
-      3. exact row_number within the surviving prefix + offset = global
-         rank; filter to <= budget.
+         cumulative offsets prune every partition past the budget;
+      3. exact row_number + offset = global rank, filtered to the budget.
+      The ranged set is persisted spill-able (MEMORY_AND_DISK — lineage
+      retained, so an executor loss recomputes instead of killing the job)
+      only for the duration of the call: the O(budget) winner set is
+      checkpointed and the O(pending) storage released before returning.
 
-    The only full-data operation is the range shuffle (linear, scales with
-    executors); ranking touches O(budget) rows no matter how large pending
-    is. Output is the exact top-budget per host under (priority DESC,
+    Both return the exact top-budget per host under (priority DESC,
     url ASC), independent of input partitioning — deterministic replay
     (ties broken by url)."""
     budgets = budgets or DEFAULT_BUDGETS
-    spark = pending.sparkSession
 
     def host_budget(host: str) -> int:
         return budgets.get(host, default_budget) * budget_multiplier
 
+    max_budget = max([default_budget, *budgets.values()]) * budget_multiplier
+    if strategy == "auto":
+        strategy = "partial" if max_budget <= SMALL_BUDGET_MAX else "range"
+    if strategy == "partial":
+        return _schedule_partial_topk(pending, budgets, default_budget, budget_multiplier)
+    return _schedule_range_topk(
+        pending, budgets, default_budget, budget_multiplier, n_partitions, host_budget
+    )
+
+
+def _budget_col(budgets: dict[str, int], default_budget: int, budget_multiplier: int):
     budget_map = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
-    budget = (
+    return (
         F.coalesce(budget_map[F.col("host")], F.lit(default_budget))
         * budget_multiplier
     )
 
+
+def _schedule_partial_topk(
+    pending: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    budget_multiplier: int,
+) -> DataFrame:
+    """Shuffle-free exact top-k: the per-partition top-budget per host is a
+    superset of the global top-budget, so one narrow Arrow pass reduces
+    10^10 pending rows to O(partitions x hosts x budget) survivors."""
+    bmap = dict(budgets)
+    mult = budget_multiplier
+
+    def partial_topk(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        best: dict[str, "pd.DataFrame"] = {}
+        for batch in batches:
+            pdf = batch.to_pandas()
+            for host, grp in pdf.groupby("host", sort=False):
+                b = bmap.get(host, default_budget) * mult
+                cur = best.get(host)
+                allg = grp if cur is None else pd.concat((cur, grp))
+                best[host] = allg.sort_values(
+                    ["priority", "url"], ascending=[False, True], kind="mergesort"
+                ).head(b)
+        schema = pa.schema(
+            [("host", pa.string()), ("priority", pa.float64()), ("url", pa.string())]
+        )
+        for pdf in best.values():
+            yield pa.RecordBatch.from_pandas(
+                pdf[["host", "priority", "url"]], schema=schema, preserve_index=False
+            )
+
+    survivors = pending.select("host", "priority", "url").mapInArrow(
+        partial_topk, schema="host string, priority double, url string"
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    winners = (
+        survivors.withColumn("_grank", F.row_number().over(w))
+        .where(F.col("_grank") <= _budget_col(budgets, default_budget, budget_multiplier))
+        .select("url")
+    )
+    return pending.join(F.broadcast(winners), "url", "inner")
+
+
+def _schedule_range_topk(
+    pending: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    budget_multiplier: int,
+    n_partitions: int | None,
+    host_budget,
+) -> DataFrame:
+    from pyspark import StorageLevel
+
+    spark = pending.sparkSession
     n_part = n_partitions or spark.sparkContext.defaultParallelism * 2
     # 1. parallel global sort: range-partition by the schedule order. Each
-    #    host's rows land in a contiguous run of partitions. Checkpoint pins
-    #    partition ids for the offset computation below.
+    #    host's rows land in a contiguous run of partitions. Persisted
+    #    (spill-able, lineage retained) so the offsets pass and the ranking
+    #    pass see identical partition ids; released before returning.
     ranged = (
         pending.repartitionByRange(
             n_part, F.col("host"), F.desc("priority"), F.asc("url")
         )
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # 2. tiny driver-side pass: per-(partition, host) counts -> cumulative
-    #    offsets; partitions whose offset already exceeds the host budget
-    #    are pruned entirely (the window below only ever sees O(budget)
-    #    rows, however big pending is).
-    counts = ranged.groupBy("_pid", "host").count().collect()
-    counts.sort(key=lambda r: (r["host"], r["_pid"]))
-    offsets: list[tuple[int, str, int]] = []
-    acc: dict[str, int] = {}
-    for r in counts:
-        off = acc.get(r["host"], 0)
-        if off < host_budget(r["host"]):
-            offsets.append((r["_pid"], r["host"], off))
-        acc[r["host"]] = off + r["count"]
-    if not offsets:
-        return pending.limit(0)
-    off_df = spark.createDataFrame(offsets, "_pid int, host string, _off long")
-    # 3. exact rank on the surviving prefix partitions only
-    w = Window.partitionBy("_pid", "host").orderBy(F.desc("priority"), F.asc("url"))
+    try:
+        # 2. tiny driver-side pass: per-(partition, host) counts -> cumulative
+        #    offsets; partitions whose offset already exceeds the host budget
+        #    are pruned entirely (the window below only ever sees O(budget)
+        #    rows, however big pending is).
+        counts = ranged.groupBy("_pid", "host").count().collect()
+        counts.sort(key=lambda r: (r["host"], r["_pid"]))
+        offsets: list[tuple[int, str, int]] = []
+        acc: dict[str, int] = {}
+        for r in counts:
+            off = acc.get(r["host"], 0)
+            if off < host_budget(r["host"]):
+                offsets.append((r["_pid"], r["host"], off))
+            acc[r["host"]] = off + r["count"]
+        if not offsets:
+            return pending.limit(0)
+        off_df = spark.createDataFrame(offsets, "_pid int, host string, _off long")
+        # 3. exact rank on the surviving prefix partitions only; materialize
+        #    the O(budget) winner set so the O(pending) persist can be freed
+        w = Window.partitionBy("_pid", "host").orderBy(F.desc("priority"), F.asc("url"))
+        return (
+            ranged.join(F.broadcast(off_df), ["_pid", "host"])
+            .withColumn("_grank", F.row_number().over(w) + F.col("_off"))
+            .where(
+                F.col("_grank")
+                <= _budget_col(budgets, default_budget, budget_multiplier)
+            )
+            .drop("_pid", "_off", "_grank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ranged.unpersist()
+
+
+def flag_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """Annotate scheduled URLs with a ``_blocked`` flag from per-host
+    robots.txt disallow prefixes (broadcast join + JVM-side exists) —
+    the single-pass variant of :func:`apply_robots`."""
+    path = F.regexp_replace(F.col("url"), r"^[a-z+]+://[^/]+", "")
     return (
-        ranged.join(F.broadcast(off_df), ["_pid", "host"])
-        .withColumn("_grank", F.row_number().over(w) + F.col("_off"))
-        .where(F.col("_grank") <= budget)
-        .drop("_pid", "_off", "_grank")
+        df.join(F.broadcast(robots.select("host", "disallow")), "host", "left")
+        .withColumn(
+            "_blocked",
+            F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
+                F.coalesce(
+                    F.exists("disallow", lambda p: path.startswith(p)), F.lit(False)
+                )
+            ),
+        )
+        .drop("disallow")
     )
 
 
@@ -251,15 +372,15 @@ class Crawl:
         now_day_ms: int = 1_755_000_000_000,
         backoff_scale: float = 1.0,
         transient_modulus: int = 37,
+        throttle_modulus: int = 0,
+        gc_terminal: bool = False,
     ):
         self.spark = spark
         self.root = root
-        self.frontier = SnapTable(f"{root}/frontier", FRONTIER)
+        self.gc_terminal = gc_terminal
+        self.frontier = SnapTable(f"{root}/frontier", FRONTIER, stats_cols=["url"])
         self.packages = SnapTable(f"{root}/packages", FINAL_PACKAGE)
-        self.one_time = SnapTable(
-            f"{root}/one_time_data",
-            None,
-        )
+        self.one_time = SnapTable(f"{root}/one_time_data", ONE_TIME)
         self.not_found = SnapTable(f"{root}/not_found", FRONTIER)
         self.seen = SeenSet(f"{root}/seen")
         self.state = StateStore(f"{root}/state")
@@ -269,7 +390,13 @@ class Crawl:
         self.now_day_ms = now_day_ms
         self.total_downloads = total_npm_downloads or 0
         self.backoff_scale = backoff_scale
+        self._dims_refreshed_at = time.time()
         self.transient_modulus = transient_modulus
+        self.throttle_modulus = throttle_modulus
+        # host -> epoch seconds until which its queue is paused (T5 throttle
+        # class). O(hosts) driver state, persisted with the crawl state so a
+        # resume honours an in-flight pause.
+        self.host_pauses: dict[str, float] = {}
         self._hits_ranked = rank_jsdelivr_hits(universe["jsdelivr_hits"]).cache()
 
     # -- seeding -------------------------------------------------------------
@@ -317,6 +444,7 @@ class Crawl:
         st = self.state.load()
         if st is None:
             return CrawlState()
+        self.host_pauses = dict(st.host_pauses)
         snaps = st.snapshots
         self.frontier.rollback(snaps.get("frontier") or None)
         self.packages.rollback(snaps.get("packages") or None)
@@ -325,6 +453,70 @@ class Crawl:
         self.seen.table.rollback(snaps.get("seen") or None)
         self.seen._bloom = None  # force rebuild against the rolled-back set
         return st
+
+    def refresh_dims(self) -> None:
+        """Re-derive the cached jsDelivr rank from the current universe
+        tables — the hourly dim-preload refresh of the reference's
+        long-running watcher (src/index.ts:66-76). Cheap: the dims are
+        broadcast-sized by design."""
+        self._hits_ranked.unpersist()
+        self._hits_ranked = rank_jsdelivr_hits(self.universe["jsdelivr_hits"]).cache()
+        self._dims_refreshed_at = time.time()
+
+    # -- bootstrap finalization + redo window --------------------------------
+
+    def finalize_bootstrap(self, prod_root: str | None = None, now_ms: int | None = None) -> SnapTable:
+        """Promote the bootstrap output to the production table and mark the
+        stage ``watch`` (reference copies the bootstrap index over prod and
+        deletes it, src/bootstrap.ts:167-200).
+
+        SnapTable data files are immutable, so the promote is a manifest
+        commit pointing at the same files — O(1) data movement, the exact
+        analogue of Algolia's server-side index copy."""
+        prod = SnapTable(prod_root or f"{self.root}/packages_prod", FINAL_PACKAGE)
+        snap = self.packages.snapshot()
+        prod._commit(
+            "promote",
+            snap.files if snap else [],
+            {"from": self.packages.root, "src_snapshot": snap.snapshot_id if snap else None},
+            file_stats=(snap.file_stats or {}) if snap else {},
+        )
+        st = self.state.load() or CrawlState()
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        self.state.save(
+            CrawlState(
+                generation=st.generation,
+                seq=st.seq,
+                stage="watch",
+                bootstrap_done=True,
+                bootstrap_last_done=now,
+                snapshots=self._snapshots(),
+                metrics={"op": "finalize_bootstrap"},
+                host_pauses=dict(self.host_pauses),
+            )
+        )
+        return prod
+
+    def needs_bootstrap_redo(self, now_ms: int) -> bool:
+        """True once the 30-day redo window has elapsed since the last
+        finalized bootstrap (reference src/config.ts:173)."""
+        st = self.state.load()
+        return bool(
+            st
+            and st.bootstrap_done
+            and st.bootstrap_last_done
+            and now_ms - st.bootstrap_last_done >= BOOTSTRAP_REDO_MS
+        )
+
+    def redo_bootstrap(self, names: DataFrame) -> None:
+        """Start a fresh bootstrap epoch: empty the seen set, reseed the
+        frontier, stage back to ``bootstrap``. The promoted prod table keeps
+        serving the previous snapshot until the next finalize."""
+        self.seen.table.rollback(None)
+        self.seen._bloom = None
+        self.seen._bloom_snapshot = None
+        self.host_pauses = {}
+        self.seed(names)
 
     # -- one generation ----------------------------------------------------------
 
@@ -338,28 +530,42 @@ class Crawl:
             (F.col("state") == "pending")
             & (F.col("next_attempt_at").isNull() | (F.col("next_attempt_at") <= F.current_timestamp()))
         )
-        scheduled = politeness_schedule(
+        # T5 throttle class: a 429'd host's whole queue stays paused until
+        # the pause expires — O(hosts) driver state, a tiny isin predicate
+        now_s = time.time()
+        self.host_pauses = {h: t for h, t in self.host_pauses.items() if t > now_s}
+        if self.host_pauses:
+            pending = pending.where(~F.col("host").isin(list(self.host_pauses)))
+        sched_raw = politeness_schedule(
             pending, self.budgets, budget_multiplier=self.budget_multiplier
-        ).cache()
-        n_scheduled = scheduled.count()
-        metrics["scheduled"] = n_scheduled
-        if n_scheduled == 0:
-            return metrics
-
-        # robots.txt: disallowed URLs are terminal, never fetched
+        )
+        # robots.txt: disallowed URLs are terminal, never fetched. Flagging
+        # (instead of splitting) lets one aggregation produce both the
+        # scheduled and the blocked counts — per-generation driver actions
+        # are the fixed cost that caps scaling efficiency.
         robots = self.universe.get("robots")
         if robots is not None:
-            eligible, robots_blocked = apply_robots(scheduled, robots)
-            eligible = eligible.cache()
-            robots_blocked = robots_blocked.cache()
-            metrics["robots_blocked"] = robots_blocked.count()
+            flagged = flag_robots(sched_raw, robots).cache()
         else:
-            eligible, robots_blocked = scheduled, None
-            metrics["robots_blocked"] = 0
+            flagged = sched_raw.withColumn("_blocked", F.lit(False)).cache()
+        cnt = {r["_blocked"]: r["count"] for r in flagged.groupBy("_blocked").count().collect()}
+        n_scheduled = sum(cnt.values())
+        metrics["scheduled"] = n_scheduled
+        metrics["robots_blocked"] = cnt.get(True, 0)
+        if n_scheduled == 0:
+            flagged.unpersist()
+            return metrics
+        scheduled = flagged.drop("_blocked")
+        eligible = flagged.where(~F.col("_blocked")).drop("_blocked")
+        robots_blocked = (
+            flagged.where(F.col("_blocked")).drop("_blocked") if robots is not None else None
+        )
 
-        # URL-seen dedup (J8): drop anything already crawled
+        # URL-seen dedup (J8): drop anything already crawled; one per-kind
+        # aggregation yields the dedup metric and all three hop sizes
         fresh = self.seen.filter_unseen(spark, eligible).cache()
-        metrics["deduped"] = n_scheduled - metrics["robots_blocked"] - fresh.count()
+        kc = {r["kind"]: r["count"] for r in fresh.groupBy("kind").count().collect()}
+        metrics["deduped"] = n_scheduled - metrics["robots_blocked"] - sum(kc.values())
 
         reg = fresh.where(F.col("kind") == "registry_doc")
         fl = fresh.where(F.col("kind") == "file_list")
@@ -368,7 +574,6 @@ class Crawl:
         new_rows, done_urls, retry_urls, notfound_urls = [], [fresh.select("url")], [], []
 
         # ---- registry_doc hop ------------------------------------------------
-        reg_fetched = reg.join(self.universe["raw_docs"], "doc_id", "left").cache()
         # synthetic transient error: first attempt on ~1/modulus of URLs
         # fails, the retry succeeds — exercises backoff + requeue (T5);
         # modulus <= 1 disables failures entirely
@@ -378,16 +583,54 @@ class Crawl:
             ) & (F.col("retries") == 0)
         else:
             transient = F.lit(False)
+        # synthetic 429: first attempt on ~1/throttle_modulus of URLs gets a
+        # rate-limit response — pauses the whole host (distinct from the
+        # transient class: no retry is burned)
+        if self.throttle_modulus > 1:
+            throttled_c = (
+                F.pmod(F.xxhash64("url"), F.lit(self.throttle_modulus)) == 1
+            ) & F.col("next_attempt_at").isNull()
+        else:
+            throttled_c = F.lit(False)
         not_found = F.col("raw_json").isNull() | (F.pmod(F.xxhash64("doc_id"), F.lit(41)) == 0)
 
-        failed = reg_fetched.where(transient)
+        reg_fetched = (
+            reg.join(self.universe["raw_docs"], "doc_id", "left")
+            .withColumn(
+                "_status",
+                F.when(throttled_c, "throttled")
+                .when(transient, "retry")
+                .when(not_found, "not_found")
+                .otherwise("ok"),
+            )
+            .cache()
+        )
+        failed = reg_fetched.where(F.col("_status") == "retry").drop("_status")
         retry_urls.append(failed.select("url"))
-        nf = reg_fetched.where(~transient & not_found)
+        throttled = reg_fetched.where(F.col("_status") == "throttled").drop("_status")
+        throttled_urls = [throttled.select("url")]
+        nf = reg_fetched.where(F.col("_status") == "not_found").drop("_status")
         notfound_urls.append(nf.select("url"))
-        ok = reg_fetched.where(~transient & ~not_found).cache()
+        ok = reg_fetched.where(F.col("_status") == "ok").drop("_status")
 
-        n_ok = ok.count()
+        if kc.get("registry_doc", 0):
+            srows = reg_fetched.groupBy("_status", "host").count().collect()
+        else:
+            srows = []
+        sc: dict[str, int] = {}
+        for r in srows:
+            sc[r["_status"]] = sc.get(r["_status"], 0) + r["count"]
+        # pause every host that saw a 429 this generation (reference pauses
+        # the host queue 1 min, src/npm/index.ts:213-227)
+        for r in srows:
+            if r["_status"] == "throttled":
+                self.host_pauses[r["host"]] = (
+                    time.time() + HOST_PAUSE_S * self.backoff_scale
+                )
+        n_ok = sc.get("ok", 0)
         metrics["registry_ok"] = n_ok
+        metrics["registry_retry"] = sc.get("retry", 0)
+        metrics["registry_throttled"] = sc.get("throttled", 0)
         if n_ok:
             formatted = format_packages_df(
                 ok, self.now_day_ms, "2026-08-16T00:00:00.000Z"
@@ -409,10 +652,9 @@ class Crawl:
                 guard="src._revision >= tgt._revision",
                 meta={"generation": generation},
             )
-            # hop 2: file list URLs
-            hop2 = self.packages.read(spark).join(
-                F.broadcast(ok.select("doc_id")), F.col("objectID") == F.col("doc_id"), "left_semi"
-            ).select(
+            # hop 2: file list URLs — derived from the in-memory enriched
+            # batch (what the MERGE just landed), not a table read-back
+            hop2 = enriched.select(
                 canonicalize_url(filelist_url(F.col("objectID"), F.col("version"))).alias("url"),
                 F.lit("cdn.jsdelivr.net").alias("host"),
                 F.lit("file_list").alias("kind"),
@@ -422,7 +664,7 @@ class Crawl:
             new_rows.append(hop2)
 
         # ---- file_list hop ----------------------------------------------------
-        n_fl = fl.count()
+        n_fl = kc.get("file_list", 0)
         metrics["filelist_ok"] = n_fl
         if n_fl:
             spans_df = fl.select("doc_id").join(self.universe["documents"], "doc_id", "left")
@@ -476,7 +718,7 @@ class Crawl:
             new_rows.append(cands)
 
         # ---- changelog_probe hop -------------------------------------------------
-        n_probe = probe.count()
+        n_probe = kc.get("changelog_probe", 0)
         metrics["probes"] = n_probe
         if n_probe:
             winners_universe = self.universe["repo_changelogs"]
@@ -514,17 +756,30 @@ class Crawl:
             self.one_time.append(memo_rows, meta={"generation": generation})
 
         # ---- frontier bookkeeping --------------------------------------------------
-        self.seen.add(spark, fresh.select("url"))
-
         from functools import reduce
 
         def union_all(dfs):
             return reduce(lambda a, b: a.unionByName(b), dfs)
 
+        # only *successfully processed* URLs enter the seen set: a transiently
+        # failed URL is re-queued for retry and must pass the dedup filter on
+        # the retry attempt (otherwise the retry is dropped as a dup and the
+        # document is silently lost — the reference re-queues by leaving
+        # isProcessed unset, src/indexers/MainWatchIndexer.ts:36-45)
+        processed = fresh.select("url")
+        for pending_again in (retry_urls, throttled_urls):
+            if pending_again:
+                processed = processed.join(union_all(pending_again), "url", "left_anti")
+        self.seen.add(spark, processed)
+
         done = union_all(done_urls).withColumn("_new_state", F.lit("done"))
         updates = [done]
         if retry_urls:
             updates.append(union_all(retry_urls).withColumn("_new_state", F.lit("retry")))
+        if throttled_urls:
+            updates.append(
+                union_all(throttled_urls).withColumn("_new_state", F.lit("throttled"))
+            )
         if notfound_urls:
             updates.append(union_all(notfound_urls).withColumn("_new_state", F.lit("not_found")))
         # later entries win (retry/not_found override the blanket 'done')
@@ -541,8 +796,13 @@ class Crawl:
                 robots_blocked.select("url").withColumn("_new_state", F.lit("robots_blocked"))
             )
 
-        fr_new = (
-            fr.join(F.broadcast(upd), "url", "left")
+        # every scheduled row receives a new state this generation; rebuild
+        # the full rows from the (cached) scheduled batch and MERGE them —
+        # only data files containing a scheduled URL are rewritten, the rest
+        # of the frontier is carried untouched (O(batch + affected files),
+        # never O(table), unlike a full overwrite)
+        upd_rows = (
+            scheduled.join(F.broadcast(upd), "url", "inner")
             .withColumn(
                 "retries",
                 F.when(F.col("_new_state") == "retry", F.col("retries") + 1).otherwise(F.col("retries")),
@@ -556,18 +816,49 @@ class Crawl:
                         F.lit(0), F.lit(0), F.lit(0),
                         backoff_seconds(F.col("retries") - 1) * self.backoff_scale,
                     ),
-                ).otherwise(F.col("next_attempt_at")),
+                )
+                .when(
+                    F.col("_new_state") == "throttled",
+                    F.current_timestamp()
+                    + F.make_dt_interval(
+                        F.lit(0), F.lit(0), F.lit(0),
+                        F.lit(HOST_PAUSE_S * self.backoff_scale),
+                    ),
+                )
+                .otherwise(F.col("next_attempt_at")),
             )
             .withColumn(
                 "state",
-                F.when(F.col("_new_state").isNull(), F.col("state"))
-                .when(F.col("_new_state") == "retry",
+                F.when(F.col("_new_state") == "retry",
                       F.when(F.col("retries") > MAX_RETRIES, F.lit("lost")).otherwise(F.lit("pending")))
+                .when(F.col("_new_state") == "throttled", F.lit("pending"))
                 .when(F.col("_new_state") == "dup", F.lit("done"))
                 .otherwise(F.col("_new_state")),
             )
             .drop("_new_state")
+            .select(*[f.name for f in FRONTIER.fields])
         )
+        if self.gc_terminal:
+            # the reference GCs processed queue rows every minute
+            # (src/indexers/MainWatchIndexer.ts:51-61, PeriodicBackground
+            # Indexer.ts:121-126): successfully-processed rows are deleted
+            # from the frontier in the same MERGE pass instead of being
+            # rewritten as terminal tombstones, so frontier bytes stay
+            # bounded by the active (pending/retrying) set. The seen set
+            # remains the dedup authority; not_found rows are quarantined in
+            # their own table below before the delete.
+            terminal = upd_rows.where(F.col("state").isin("done", "not_found"))
+            self.frontier.merge_apply(
+                spark,
+                "url",
+                upserts=upd_rows.where(~F.col("state").isin("done", "not_found")),
+                delete_keys=terminal.select("url"),
+                meta={"generation": generation},
+            )
+        else:
+            self.frontier.merge_upsert(
+                spark, upd_rows, key="url", meta={"generation": generation}
+            )
         if new_rows:
             additions = (
                 union_all(new_rows)
@@ -587,16 +878,18 @@ class Crawl:
                 .join(fr.select("url"), "url", "left_anti")
                 .dropDuplicates(["url"])
             )
-            fr_new = fr_new.unionByName(additions.select(*[f.name for f in FRONTIER.fields]))
-        self.frontier.overwrite(fr_new, meta={"generation": generation})
+            self.frontier.append(
+                additions.select(*[f.name for f in FRONTIER.fields]),
+                meta={"generation": generation},
+            )
         if notfound_urls:
-            nf_rows = fr.join(union_all(notfound_urls), "url", "left_semi")
+            nf_rows = fresh.join(union_all(notfound_urls), "url", "left_semi")
             self.not_found.append(nf_rows, meta={"generation": generation})
 
         metrics["elapsed_s"] = round(time.time() - t0, 3)
         metrics["throughput_urls_per_s"] = round(n_scheduled / max(metrics["elapsed_s"], 1e-9), 1)
-        scheduled.unpersist()
-        fresh.unpersist()
+        for df in (flagged, fresh, reg_fetched):
+            df.unpersist()
         return metrics
 
     # -- full bootstrap ------------------------------------------------------------
@@ -618,19 +911,28 @@ class Crawl:
                     bootstrap_done=m["scheduled"] == 0,
                     snapshots=self._snapshots(),
                     metrics=m,
+                    host_pauses=dict(self.host_pauses),
                 )
             )
             if m["scheduled"] == 0:
-                # drained, or everything pending is backing off — wait it out
+                # drained, or everything pending is backing off / its host is
+                # paused — wait out the earlier of the two
+                import datetime
+
                 fr = self.frontier.read(self.spark)
                 nxt = fr.where(F.col("state") == "pending").agg(
                     F.min("next_attempt_at")
                 ).first()[0]
-                if nxt is None:
+                waits = []
+                if nxt is not None:
+                    waits.append(
+                        (nxt - datetime.datetime.now(nxt.tzinfo)).total_seconds()
+                    )
+                if self.host_pauses:
+                    waits.append(min(self.host_pauses.values()) - time.time())
+                if not waits:
                     break
-                import datetime
-
-                wait = (nxt - datetime.datetime.now(nxt.tzinfo)).total_seconds()
+                wait = min(waits)
                 if wait > 0:
                     time.sleep(min(wait + 0.1, BACKOFF_CAP_S * self.backoff_scale + 1))
         return all_metrics

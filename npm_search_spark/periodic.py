@@ -28,6 +28,9 @@ DAY_MS = 86_400_000
 PERIODIC_WINDOW_MS = 30 * DAY_MS   # reference PeriodicBackgroundIndexer.ts:32-35
 ONE_TIME_RETRY_MS = 7 * DAY_MS     # reference OneTimeBackgroundIndexer.ts:87-91
 RECONCILE_MIN_AGE_MS = 7 * DAY_MS  # reference PeriodicBackgroundIndexer.ts:99-129
+PERIODIC_ERROR_RETRY_MS = 1 * DAY_MS  # on error, re-run tomorrow instead of
+                                      # +30d (reference PeriodicBackground
+                                      # Indexer.ts:170-183)
 
 
 def due_for_periodic(pkgs, now_ms: int):
@@ -46,15 +49,38 @@ def due_for_one_time(pkgs, now_ms: int):
     )
 
 
-def run_periodic(crawl: Crawl, now_day_ms: int) -> dict:
+def run_periodic(crawl: Crawl, now_day_ms: int, error_modulus: int = 0) -> dict:
     """Refresh downloads-derived fields for due packages; reconcile
-    deletions. Returns metrics."""
+    deletions. Returns metrics.
+
+    ``error_modulus`` simulates per-package refresh errors (1/modulus of due
+    packages fail): an errored package keeps its old values and is
+    rescheduled for tomorrow (+1 day) instead of +30 days — the reference's
+    periodic-error class (PeriodicBackgroundIndexer.ts:170-183)."""
     spark = crawl.spark
     pkgs = crawl.packages.read(spark)
     due = due_for_periodic(pkgs, now_day_ms).where(~F.col("isSecurityHeld"))
-    n_due = due.count()
-    metrics = {"periodic_due": n_due}
+    if error_modulus > 1:
+        errored_c = F.pmod(F.xxhash64("objectID"), F.lit(error_modulus)) == 0
+    else:
+        errored_c = F.lit(False)
+    due = due.withColumn("_err", errored_c)
+    ec = {r["_err"]: r["count"] for r in due.groupBy("_err").count().collect()}
+    n_due = sum(ec.values())
+    metrics = {"periodic_due": n_due, "periodic_errors": ec.get(True, 0)}
     if n_due == 0:
+        return metrics
+    errored = due.where(F.col("_err")).drop("_err")
+    due = due.where(~F.col("_err")).drop("_err")
+    if ec.get(True, 0):
+        deferred = errored.withColumn(
+            "_periodicDataUpdatedAt",
+            F.lit(now_day_ms - PERIODIC_WINDOW_MS + PERIODIC_ERROR_RETRY_MS),
+        )
+        crawl.packages.merge_upsert(
+            spark, deferred, key="objectID", meta={"op": "periodic-error-defer"}
+        )
+    if ec.get(False, 0) == 0:
         return metrics
 
     dl = crawl.universe["npm_downloads"].select(
@@ -95,7 +121,7 @@ def run_periodic(crawl: Crawl, now_day_ms: int) -> dict:
     crawl.packages.merge_upsert(
         spark, refreshed, key="objectID", meta={"op": "periodic"}
     )
-    metrics["periodic_refreshed"] = n_due
+    metrics["periodic_refreshed"] = ec.get(False, 0)
 
     # J9: downloads-miss AND old enough -> live-check the registry; gone ->
     # delete + quarantine
@@ -110,10 +136,11 @@ def run_periodic(crawl: Crawl, now_day_ms: int) -> dict:
     n_gone = gone.count()
     metrics["periodic_deleted"] = n_gone
     if n_gone:
-        kept = crawl.packages.read(spark).join(
-            F.broadcast(gone), "objectID", "left_anti"
+        # file-granular MERGE DELETE (J9 reconciliation): rewrite only the
+        # files containing a gone package, not the whole packages table
+        crawl.packages.merge_delete(
+            spark, gone, key="objectID", meta={"op": "periodic-reconcile"}
         )
-        crawl.packages.overwrite(kept, meta={"op": "periodic-reconcile"})
     return metrics
 
 
@@ -151,13 +178,11 @@ def run_one_time(crawl: Crawl, now_ms: int, max_generations: int = 4) -> dict:
             F.lit(-2).alias("generation"),
         ).alias("lineage"),
     )
-    existing = crawl.frontier.read(spark)
-    crawl.frontier.overwrite(
-        existing.unionByName(
-            cands.join(existing.select("url"), "url", "left_anti")
-            .dropDuplicates(["url"])
-            .select(*[f.name for f in FRONTIER.fields])
-        ),
+    existing_urls = crawl.frontier.read(spark).select("url")
+    crawl.frontier.append(
+        cands.join(existing_urls, "url", "left_anti")
+        .dropDuplicates(["url"])
+        .select(*[f.name for f in FRONTIER.fields]),
         meta={"op": "one-time-enqueue"},
     )
     gen = 0

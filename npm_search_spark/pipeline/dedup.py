@@ -3,16 +3,17 @@
   exact            hash-groupBy on a normalized-content fingerprint
   n-gram Jaccard   inverted-index self-join (explode ngram -> equi-join ->
                    shared/union counting) — the scalable exact method
-  MinHash + LSH    shingles -> 64-perm signature (pure column exprs,
-                   array_min over hashed ngrams) -> banded buckets ->
+  MinHash + LSH    shingles -> grams hashed JVM-side (xxhash64) -> 64-perm
+                   signature + banded buckets in ONE Arrow numpy pass ->
                    candidate pairs -> exact-Jaccard verification
-  SimHash          64-bit bit-vote fingerprint via Arrow-vectorized numpy,
-                   near-dup = small Hamming distance within buckets
+  SimHash          tokens hashed JVM-side -> 64-bit bit-vote via segmented
+                   numpy sums, near-dup = small Hamming distance in buckets
 
 Scale notes: every method is shuffle-bounded by its join key (fingerprint /
-ngram / band bucket), never all-pairs. The MinHash signature is computed
-JVM-side (NUM_PERM array_min expressions over the ngram array — no Python,
-no explode). LSH bands turn the quadratic pair search into an equi-join;
+ngram / band bucket), never all-pairs. The Python boundary only ever sees
+Arrow list<long> buffers (hashes), never strings or per-row calls: string
+hashing stays in codegen, permutation minima are ``np.minimum.reduceat``
+matrix ops. LSH bands turn the quadratic pair search into an equi-join;
 the exact verification joins only candidate pairs.
 """
 
@@ -38,6 +39,26 @@ def word_ngrams(text, n: int = 3):
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def word_ngram_hashes(text, n: int = 3):
+    """array<long> of distinct word-n-gram hashes — the join/Jaccard
+    currency of every dedup operator here.
+
+    Each token is xxhash64'd once, then a gram is the hash of its n-token
+    hash slice — no n-gram *strings* are ever materialized (n-gram string
+    building is O(text x n) allocation and was the single hottest stage of
+    the pipeline). Set relations are preserved modulo 64-bit collisions:
+    distinct grams <-> distinct hashes, so Jaccard over hash sets equals
+    Jaccard over string sets and the DuckDB string-gram oracle still
+    matches."""
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - n, F.lit(0)))
+    return F.when(
+        F.size(th) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.xxhash64(F.slice(th, i + 1, n)))),
+    ).otherwise(F.array(F.xxhash64(th)))
 
 
 # ---------------------------------------------------------------------------
@@ -72,15 +93,28 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float, n: int = 3, text_col: str = "text"
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with ngram-Jaccard >= threshold.
     Inverted-index join: |pairs considered| = sum over ngrams of df^2 —
-    bounded by content overlap, not n^2."""
+    bounded by content overlap, not n^2.
+
+    ``max_df`` prunes posting lists longer than max_df documents before the
+    self-join: a universally-common gram otherwise makes the equi-join
+    quadratic in corpus size. Pairs whose *only* overlap is such stop-grams
+    are missed — at any realistic threshold those are far below it, but the
+    default (None) stays exact so the DuckDB oracle matches bit-for-bit."""
     grams = df.select(
-        F.col("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
+        F.col("doc_id"), word_ngram_hashes(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     inv = grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        rare = inv.groupBy("gram").count().where(F.col("count") <= max_df).select("gram")
+        inv = inv.join(rare, "gram", "left_semi")
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (
@@ -108,49 +142,101 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(grams_col):
-    """NUM_PERM-wide signature: min over murmur3(gram, perm_idx) per
-    permutation — a single nested transform so the (possibly expensive)
-    grams expression is evaluated once per row, not once per permutation
-    (64 inlined copies blow codegen up ~100x)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
-        lambda i: F.array_min(F.transform(grams_col, lambda g: F.hash(g, i))),
-    )
-
-
 def doc_grams(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, grams) materialized once — the signature transform iterates
-    64 permutations over it, so an inline grams expression would be
-    re-evaluated 64x per row."""
+    """(doc_id, grams) materialized once — both the signature stage and the
+    exact-Jaccard verification consume it.
+
+    The gram expression is the CPU-heaviest narrow stage in the pipeline;
+    if the input arrives in fewer partitions than the cluster has cores
+    (small files), fan it out first so the whole cluster shingles — at real
+    scale the input already has more partitions than cores and this is a
+    no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return df.select(
-        F.col("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
+        F.col("doc_id"), word_ngram_hashes(F.col(text_col), n).alias("grams")
     ).localCheckpoint(eager=False)
+
+
+def minhash_band_buckets(grams_df: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS) -> DataFrame:
+    """(doc_id, band, bucket) in one Arrow-vectorized pass.
+
+    Grams are hashed once JVM-side (xxhash64 inside a transform — codegen);
+    the NUM_PERM permutation minima are then a numpy matrix op over the
+    Arrow list buffers (segmented min via ``np.minimum.reduceat`` on the
+    flattened values — no per-row Python, no 64x Catalyst expression
+    blowup, which cost ~10x the rest of the query battery), and the band
+    buckets fold signature rows with a splitmix64-style mixer. Output is
+    exploded to BANDS rows per doc for the equi-join."""
+    rows = num_perm // bands
+    gtype = grams_df.schema["grams"].dataType.elementType.simpleString()
+    if gtype == "bigint":
+        hashed = grams_df.select("doc_id", F.col("grams").alias("gh"))
+    else:  # hash arbitrary gram types once, JVM-side
+        hashed = grams_df.select(
+            "doc_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("gh")
+        )
+    id_type = hashed.schema["doc_id"].dataType.simpleString()
+
+    def sigs(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        seeds = (np.arange(num_perm, dtype=np.uint64) + np.uint64(1)) * GOLD
+
+        def mix(x):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            doc_col = batch.column("doc_id")
+            gh = batch.column("gh")
+            flat = gh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            lens = pc.list_value_length(gh).to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonempty = lens > 0
+            sig = np.full((num_perm, n), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+            ne_starts = starts[nonempty]
+            for i in range(num_perm):
+                h = mix(flat + seeds[i])
+                if len(ne_starts):
+                    sig[i, nonempty] = np.minimum.reduceat(h, ne_starts)
+            buckets = np.empty((bands, n), dtype=np.uint64)
+            for b in range(bands):
+                seed = np.uint64(((b + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+                acc = np.full(n, seed, dtype=np.uint64)
+                for r in range(rows):
+                    acc = mix(acc ^ sig[b * rows + r])
+                buckets[b] = acc
+            idx = np.tile(np.arange(n, dtype=np.int64), bands)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_col.take(pa.array(idx)),
+                    pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(buckets.reshape(-1).view(np.int64)),
+                ],
+                names=["doc_id", "band", "bucket"],
+            )
+
+    return hashed.mapInArrow(sigs, schema=f"doc_id {id_type}, band int, bucket long")
 
 
 def minhash_lsh_candidates(
     df: DataFrame, n: int = 3, text_col: str = "text", grams: DataFrame | None = None
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH band bucket."""
-    rows = NUM_PERM // BANDS
     if grams is None:
         grams = doc_grams(df, n, text_col)
-    sig = grams.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
-    # one transform referencing sig once — per-band F.array(...) expressions
-    # would re-inline the whole signature computation per band after
-    # projection collapse (BANDS x NUM_PERM blowup)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda b: F.hash(F.slice(F.col("sig"), b * rows + 1, rows)),
-            )
-        ).alias("band", "bucket"),
-    ).localCheckpoint(eager=False)
-    # materialized: the self-join below would otherwise duplicate the whole
-    # signature pipeline per side and the combined expression tree blows
-    # past codegen limits (observed ~60x slowdown)
+    # materialized: the self-join below must not run the signature stage
+    # once per side
+    bands = minhash_band_buckets(grams).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -195,41 +281,49 @@ def minhash_lsh_dedup_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): 64-bit bit-vote over token hashes, numpy-
-    vectorized inside mapInPandas (per-doc loop is O(tokens) python-free)."""
+    """(doc_id, simhash long): 64-bit bit-vote fingerprint. Tokens are
+    hashed JVM-side (xxhash64 inside a transform — codegen, deterministic),
+    so the Arrow stage sees only list<long> buffers: the per-bit vote is 64
+    segmented sums over the flattened hash array (``np.add.reduceat``) —
+    no per-token Python anywhere."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hashed = df.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
+    id_type = hashed.schema["doc_id"].dataType.simpleString()
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        def simhash(text: str) -> int:
-            toks = text.lower().split()
-            if not toks:
-                return 0
-            # deterministic 64-bit token hashes via md5 (no Python hash seed)
-            import hashlib
-
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    for t in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(hs)
-            out = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                out |= np.uint64(1) << np.uint64(i)
-            return int(out.astype(np.int64))
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simhash": [simhash(t or "") for t in pdf[text_col]]}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            th = batch.column("th")
+            flat = th.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            lens = pc.list_value_length(th).to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonempty = lens > 0
+            ne_starts = starts[nonempty]
+            sig = np.zeros(n, dtype=np.uint64)
+            for b in range(64):
+                bit = (flat >> np.uint64(b)) & np.uint64(1)
+                counts = np.zeros(n, dtype=np.int64)
+                if len(ne_starts):
+                    counts[nonempty] = np.add.reduceat(bit.astype(np.int64), ne_starts)
+                votes = counts * 2 - lens
+                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(sig.view(np.int64))],
+                names=["doc_id", "simhash"],
             )
 
-    return df.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, simhash long")
+    return hashed.mapInArrow(run, schema=f"doc_id {id_type}, simhash long")
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:

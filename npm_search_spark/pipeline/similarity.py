@@ -84,6 +84,23 @@ def lsh_signature(vec_col, dim: int, n_planes: int = N_PLANES):
     return out
 
 
+def lsh_probe_buckets(vec_col, dim: int, n_planes: int, probe_radius: int = 0):
+    """The query's bucket plus every bucket within ``probe_radius`` sign
+    flips (multiprobe LSH): near-boundary neighbors land one plane away, so
+    probing Hamming-adjacent buckets buys recall without growing buckets."""
+    sig = lsh_signature(vec_col, dim, n_planes)
+    probes = [F.lit(0).cast("long")]
+    if probe_radius >= 1:
+        probes += [F.lit(1 << i).cast("long") for i in range(n_planes)]
+    if probe_radius >= 2:
+        probes += [
+            F.lit((1 << i) | (1 << j)).cast("long")
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return F.transform(F.array(*probes), lambda m: sig.bitwiseXOR(m))
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,20 +109,24 @@ def lsh_ann_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane-sign
-    bucket; exact cosine ranks within the bucket. Recall/latency tuned by
-    n_planes (fewer planes -> bigger buckets -> higher recall)."""
-    sig = lambda v: lsh_signature(v, dim, n_planes)  # noqa: E731
+    """Approximate top-k: candidates share one of the query's probe buckets
+    (its own hyperplane-sign bucket, plus Hamming-``probe_radius``
+    neighbors — multiprobe); exact cosine ranks within the candidates.
+    Recall/latency tuned by n_planes (fewer planes -> bigger buckets) and
+    probe_radius (more probes -> higher recall, more candidates)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        sig(F.col(vec_col)).alias("bucket"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        sig(F.col(vec_col)).alias("bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), dim, n_planes, probe_radius)
+        ).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -129,7 +150,12 @@ def ivf_centroids(
     """Deterministic centroid seed: the k corpus vectors with the smallest
     xxhash64(id) — reproducible across runs and cluster sizes without RNG
     or iterative k-means (good enough as coarse quantizer cells; swap in
-    k-means refinement when recall targets demand it)."""
+    k-means refinement when recall targets demand it).
+
+    Plan note: orderBy+limit(k) compiles to TakeOrderedAndProject — a
+    per-partition bounded heap merged on the driver (O(n) scan, k rows
+    moved per partition), NOT a global sort; plan-asserted in
+    tests/test_plans.py."""
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))

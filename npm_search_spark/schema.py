@@ -190,6 +190,15 @@ FRONTIER = T.StructType(
     ]
 )
 
+# One-time changelog-probe memo (reference OneTimeBackgroundIndexer memoizes
+# per name@version, src/indexers/OneTimeBackgroundIndexer.ts:33-40)
+ONE_TIME = T.StructType(
+    [
+        T.StructField("objectID", T.StringType(), False),  # name@version
+        T.StructField("changelogFilename", T.StringType()),
+    ]
+)
+
 # Streaming change feed (reference DatabaseChangesResultItem, consumed
 # src/watch.ts:118-141)
 CHANGES = T.StructType(

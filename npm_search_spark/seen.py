@@ -120,7 +120,10 @@ class SeenSet:
         from pyspark.sql import types as T
 
         schema = T.StructType.fromDDL(SEEN_SCHEMA)
-        self.table = SnapTable(root, schema)
+        # per-file bucket min/max in the manifest: the exact check prunes
+        # files driver-side by the suspects' buckets before any I/O
+        self.table = SnapTable(root, schema, stats_cols=["bucket"])
+        self.last_prune: dict[str, int] = {}
         self.n_buckets = n_buckets
         self.m, self.k = _bloom_params(expected_keys_per_bucket, fp_rate)
         self._bloom: DenseBloom | None = None
@@ -227,8 +230,31 @@ class SeenSet:
         suspects = cand.filter(F.col("_maybe"))
 
         # exact check: seen ⨝ suspects (suspects broadcast — the big table is
-        # never shuffled), URL-compared to kill hash collisions, then anti
-        seen = self.table.read(spark).select("key", F.col("url").alias("_seen_url"))
+        # never shuffled), URL-compared to kill hash collisions, then anti.
+        # The scan is pruned twice before it reads anything: manifest stats
+        # drop every file whose bucket range misses the suspects' buckets
+        # (rows are written range-clustered by (bucket, key)), and the
+        # bucket IN (...) predicate is pushed into the parquet scan so
+        # row-group stats prune within the surviving files. A small suspect
+        # batch (watch mode) therefore reads a handful of files, not the
+        # table.
+        sus_buckets = sorted(
+            {r["bucket"] for r in suspects.select("bucket").distinct().collect()}
+        )
+        files = self.table.files_matching("bucket", sus_buckets)
+        snap = self.table.snapshot()
+        self.last_prune = {
+            "files_scanned": len(files),
+            "files_total": len(snap.files) if snap else 0,
+        }
+        if not files or not sus_buckets:
+            # every suspect was a Bloom false positive
+            return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
+        seen = (
+            spark.read.parquet(*files)
+            .where(F.col("bucket").isin([int(b) for b in sus_buckets]))
+            .select("key", F.col("url").alias("_seen_url"))
+        )
         confirmed = (
             seen.join(
                 F.broadcast(suspects.select("key", F.col(url_col).alias("_cand_url"))),
@@ -246,18 +272,33 @@ class SeenSet:
         )
         return sure_new.unionByName(false_pos).drop("key", "bucket", "_maybe")
 
-    def add(self, spark: SparkSession, urls: DataFrame, url_col: str = "url") -> int:
+    def add(
+        self,
+        spark: SparkSession,
+        urls: DataFrame,
+        url_col: str = "url",
+        n_partitions: int | None = None,
+    ) -> int:
         """Append canonical URLs to the seen set (dedup within the batch);
-        returns the new snapshot id."""
+        returns the new snapshot id. ``n_partitions`` pins the number of
+        range partitions (and hence files) per append; default lets AQE
+        size them."""
         prev_snap = self.table.current_snapshot_id()
-        rows = (
+        keyed = (
             self.keyed(urls.select(url_col), url_col)
             .select("bucket", "key", F.col(url_col).alias("url"))
             .dropDuplicates(["key"])
-            .repartition(F.col("bucket"))
-            .sortWithinPartitions("bucket", "key")
-            .localCheckpoint(eager=False)
         )
+        # range-cluster by (bucket, key): each data file covers a narrow
+        # contiguous bucket range, so the manifest's per-file bucket
+        # stats (and parquet row-group stats) actually prune lookups
+        range_cols = [F.col("bucket"), F.col("key")]
+        keyed = (
+            keyed.repartitionByRange(n_partitions, *range_cols)
+            if n_partitions
+            else keyed.repartitionByRange(*range_cols)
+        )
+        rows = keyed.sortWithinPartitions("bucket", "key").localCheckpoint(eager=False)
         sid = self.table.append(rows, meta={"op": "seen-add"})
         if self._bloom is not None and self._bloom_snapshot == prev_snap:
             # incremental: fold only the appended batch into the cached bloom

@@ -23,8 +23,11 @@ class CrawlState:
     seq: int = 0
     stage: str = "bootstrap"  # bootstrap | watch
     bootstrap_done: bool = False
+    bootstrap_last_done: int = 0  # epoch ms of the last finalized bootstrap
+                                  # (reference State.bootstrapLastDone)
     snapshots: dict[str, int] = field(default_factory=dict)  # table -> snapshot id
     metrics: dict[str, Any] = field(default_factory=dict)
+    host_pauses: dict[str, float] = field(default_factory=dict)  # 429 pauses (T5)
 
 
 class StateStore:

@@ -80,18 +80,26 @@ class Watch:
         checkpoint_dir: str,
         max_files_per_trigger: int = 1,
         generations_per_batch: int = 6,
+        dims_refresh_secs: float = 3600.0,
     ):
         self.crawl = crawl
         self.changes_dir = changes_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.generations_per_batch = generations_per_batch
+        # hourly dim-preload refresh in long-running watch mode (reference
+        # src/index.ts:66-76)
+        self.dims_refresh_secs = dims_refresh_secs
         self._generation = (crawl.state.load() or CrawlState()).generation
 
     # -- per-batch body (also usable in batch mode/tests) ---------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         crawl, spark = self.crawl, self.crawl.spark
+        if _time.time() - crawl._dims_refreshed_at >= self.dims_refresh_secs:
+            crawl.refresh_dims()
         deduped = dedup_last_wins(batch).cache()
         if not deduped.take(1):
             return
@@ -100,12 +108,14 @@ class Watch:
         # MainWatchIndexer.ts:80-81)
         deletes = deduped.where(F.col("deleted"))
         if deletes.take(1):
-            kept = crawl.packages.read(spark).join(
-                F.broadcast(deletes.select(F.col("id").alias("objectID"))),
-                "objectID",
-                "left_anti",
+            # file-granular MERGE DELETE: only data files containing a
+            # deleted objectID are rewritten, not the whole packages table
+            crawl.packages.merge_delete(
+                spark,
+                deletes.select(F.col("id").alias("objectID")),
+                key="objectID",
+                meta={"op": "watch-delete", "batch": batch_id},
             )
-            crawl.packages.overwrite(kept, meta={"op": "watch-delete", "batch": batch_id})
 
         # upserts: enqueue newest-change frontier rows (J7 newest wins via
         # URL-seen once-per-seq identity), then drain with the same
@@ -113,12 +123,10 @@ class Watch:
         upserts = deduped.where(~F.col("deleted"))
         if upserts.take(1):
             rows = change_frontier_rows(crawl, upserts)
-            existing = crawl.frontier.read(spark)
-            crawl.frontier.overwrite(
-                existing.unionByName(
-                    rows.join(existing.select("url"), "url", "left_anti").select(
-                        *[f.name for f in FRONTIER.fields]
-                    )
+            existing_urls = crawl.frontier.read(spark).select("url")
+            crawl.frontier.append(
+                rows.join(existing_urls, "url", "left_anti").select(
+                    *[f.name for f in FRONTIER.fields]
                 ),
                 meta={"op": "watch-enqueue", "batch": batch_id},
             )
@@ -139,6 +147,7 @@ class Watch:
                 bootstrap_done=True,
                 snapshots=crawl._snapshots(),
                 metrics={"batch_id": batch_id},
+                host_pauses=dict(crawl.host_pauses),
             )
         )
         deduped.unpersist()

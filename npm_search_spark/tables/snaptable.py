@@ -3,21 +3,31 @@
 Stands in for Iceberg (no Iceberg runtime jar in this environment) with the
 same semantics the engine needs, per the north rule: atomic snapshot
 commits, snapshot-id time travel, append / overwrite / merge-upsert /
-delete, and per-snapshot metadata carrying crawl lineage + metrics
-(generation, per-partition counts).
+merge-delete, per-file column statistics for scan pruning, and per-snapshot
+metadata carrying crawl lineage + metrics (generation, per-partition
+counts).
 
 Layout on disk::
 
     <root>/
       data/<uuid>/part-*.parquet     immutable data files (write-once)
-      manifests/<snapshot_id>.json   file list + parent + operation + meta
+      manifests/<snapshot_id>.json   file list + stats + parent + op + meta
       _current                       atomic pointer (os.replace) to manifest
 
 A snapshot's manifest lists the parquet files visible in that snapshot, so
 *append* is O(new data): it writes only new files and a manifest whose file
-list is parent_files + new_files. *overwrite*/*merge* write a full new file
-set. Readers load `spark.read.parquet(*files)` — pushdown/pruning work as
-usual because these are plain parquet files.
+list is parent_files + new_files. *merge* is copy-on-write at file
+granularity: only files that may contain a matching key are rewritten,
+everything else is carried into the new snapshot untouched — merge cost is
+O(affected files + batch), not O(table). Readers load
+``spark.read.parquet(*files)`` — pushdown/pruning work as usual because
+these are plain parquet files.
+
+Per-file statistics (Iceberg-manifest style): when ``stats_cols`` is set,
+every write records min/max per file for those columns in the manifest.
+``files_matching`` then prunes scans driver-side with zero I/O — the
+mechanism behind the seen-set's sub-linear exact check and the frontier's
+bounded-merge commits.
 
 Concurrency model: single-writer (the crawl driver), many readers — the
 same model the reference uses for its Algolia state (one process owns the
@@ -29,14 +39,17 @@ resume, SURVEY.md §7 hard-part 4).
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -48,12 +61,25 @@ class Snapshot:
     files: list[str]
     meta: dict[str, Any]
     timestamp_ms: int
+    # path -> {col: [min, max]} for stats_cols; may be missing for files
+    # written before stats were enabled (treated as always-matching)
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+
+
+def _local_path(uri: str) -> str:
+    return unquote(urlparse(uri).path)
 
 
 class SnapTable:
-    def __init__(self, root: str, schema: T.StructType | None = None):
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType | None = None,
+        stats_cols: list[str] | None = None,
+    ):
         self.root = root
         self.schema = schema
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -75,6 +101,7 @@ class SnapTable:
             return None
         with open(os.path.join(self.root, "manifests", f"{sid}.json")) as f:
             d = json.load(f)
+        d.setdefault("file_stats", {})
         return Snapshot(**d)
 
     def history(self) -> list[Snapshot]:
@@ -85,7 +112,13 @@ class SnapTable:
             snap = self.snapshot(snap.parent_id) if snap.parent_id is not None else None
         return list(reversed(out))
 
-    def _commit(self, operation: str, files: list[str], meta: dict[str, Any]) -> int:
+    def _commit(
+        self,
+        operation: str,
+        files: list[str],
+        meta: dict[str, Any],
+        file_stats: dict[str, dict[str, list]] | None = None,
+    ) -> int:
         parent = self.current_snapshot_id()
         sid = (parent or 0) + 1
         manifest = Snapshot(
@@ -95,6 +128,7 @@ class SnapTable:
             files=files,
             meta=meta,
             timestamp_ms=int(time.time() * 1000),
+            file_stats=file_stats or {},
         )
         mpath = os.path.join(self.root, "manifests", f"{sid}.json")
         with open(mpath, "w") as f:
@@ -105,14 +139,89 @@ class SnapTable:
         os.replace(tmp, self._current_path())  # atomic commit point
         return sid
 
-    def _write_files(self, df: DataFrame) -> list[str]:
-        d = os.path.join(self.root, "data", uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(d)
-        return sorted(
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Cast every column to the declared table schema before writing.
+
+        Without this, two snapshots of one table can carry different physical
+        parquet types for the same column (e.g. int vs long from a literal),
+        and ``spark.read.parquet(*files)`` over a mixed-file snapshot fails
+        with ConvertNotSupportedException depending on which file the reader
+        samples first — the schema is the contract, every file must match it.
+        """
+        if self.schema is None:
+            return df
+        declared = [f.name for f in self.schema.fields]
+        missing = set(declared) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"write to {self.root} is missing columns {sorted(missing)}"
+            )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in self.schema.fields]
         )
+
+    def _write_files(
+        self, df: DataFrame
+    ) -> tuple[list[str], dict[str, dict[str, list]]]:
+        d = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df = self._conform(df)
+        df.write.mode("errorifexists").parquet(d)
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        cols = [c for c in self.stats_cols if c in df.columns]
+        return files, self._footer_stats(files, cols)
+
+    @staticmethod
+    def _footer_stats(
+        files: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max for ``cols`` straight from the parquet footers —
+        driver-local metadata reads, zero Spark jobs (the writer already
+        computed row-group statistics). A column whose footer stats are
+        missing or unusable is simply omitted for that file, which readers
+        treat as always-matching (conservative, never wrong). Oversized
+        string values make the writer omit chunk min/max entirely
+        (has_min_max false), which lands in the same conservative path."""
+        if not cols or not files:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for f in files:
+            try:
+                md = pq.ParquetFile(f).metadata
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            st: dict[str, list] = {}
+            for c in cols:
+                i = idx.get(c)
+                if i is None:
+                    continue
+                mn = mx = None
+                usable = md.num_row_groups > 0
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        usable = False
+                        break
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+                if not usable or mn is None:
+                    continue
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    continue  # undecoded binary stats aren't comparable here
+                st[c] = [mn, mx]
+            if st:
+                out[f] = st
+        return out
+
+    @staticmethod
+    def _carry(snap: Snapshot | None, files: list[str]) -> dict[str, dict[str, list]]:
+        if snap is None:
+            return {}
+        return {f: s for f, s in (snap.file_stats or {}).items() if f in set(files)}
 
     # -- reads ---------------------------------------------------------------
 
@@ -127,17 +236,170 @@ class SnapTable:
             return spark.createDataFrame([], self.schema)
         return spark.read.parquet(*snap.files)
 
+    def files_matching(self, col: str, values: list) -> list[str]:
+        """Driver-side file pruning by manifest stats: the files whose
+        [min, max] range for ``col`` contains at least one of ``values``.
+        Files without recorded stats are conservatively included. Zero I/O."""
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        vals = sorted(v for v in values if v is not None)
+        stats = snap.file_stats or {}
+        out = []
+        for f in snap.files:
+            rng = stats.get(f, {}).get(col)
+            if not rng or rng[0] is None or rng[1] is None:
+                out.append(f)
+                continue
+            i = bisect.bisect_left(vals, rng[0])
+            if i < len(vals) and vals[i] <= rng[1]:
+                out.append(f)
+        return out
+
     # -- writes --------------------------------------------------------------
 
     def append(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
-        new_files = self._write_files(df)
+        new_files, new_stats = self._write_files(df)
         parent = self.snapshot()
         files = (parent.files if parent else []) + new_files
-        return self._commit("append", files, meta or {})
+        return self._commit(
+            "append", files, meta or {}, {**self._carry(parent, files), **new_stats}
+        )
 
     def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
-        files = self._write_files(df)
-        return self._commit("overwrite", files, meta or {})
+        files, stats = self._write_files(df)
+        return self._commit("overwrite", files, meta or {}, stats)
+
+    def _affected_files(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        keys: list[str],
+        src_keys: DataFrame,
+    ) -> list[str]:
+        """Files that may contain a row matching ``src_keys``: manifest-stats
+        range pruning first (one tiny agg on the source, zero table I/O),
+        then an exact key-column scan over the surviving candidates only
+        (column-pruned, no shuffle). The source key set itself is never
+        collected to the driver — only its [min, max]."""
+        candidates = snap.files
+        k = keys[0]
+        if len(keys) == 1 and k in self.stats_cols:
+            b = src_keys.agg(F.min(k).alias("mn"), F.max(k).alias("mx")).first()
+            if b["mn"] is not None:
+                stats = snap.file_stats or {}
+                candidates = [
+                    f
+                    for f in snap.files
+                    if (rng := stats.get(f, {}).get(k)) is None
+                    or rng[0] is None
+                    or rng[1] is None
+                    or (rng[0] <= b["mx"] and rng[1] >= b["mn"])
+                ]
+        if not candidates:
+            return []
+        rows = (
+            spark.read.parquet(*candidates)
+            .select(*keys)
+            .withColumn("_f", F.input_file_name())
+            .join(F.broadcast(src_keys), on=keys, how="left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        affected = {_local_path(r["_f"]) for r in rows}
+        return [f for f in snap.files if f in affected]
+
+    def merge_apply(
+        self,
+        spark: SparkSession,
+        key: str | list[str],
+        upserts: DataFrame | None = None,
+        delete_keys: DataFrame | None = None,
+        guard: str | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        """One file-granular copy-on-write pass applying upserts and deletes
+        together (Iceberg MERGE semantics):
+
+        - target rows matching ``delete_keys`` are dropped;
+        - target rows matching an upsert key are replaced (unless ``guard``
+          — a SQL predicate over ``src``/``tgt`` aliases — says keep, the
+          optimistic-concurrency analogue of Algolia's ``IncrementFrom``
+          partial update, reference src/indexers/MainWatchIndexer.ts:36-45);
+        - every other target row is carried; unmatched upsert rows insert.
+
+        Only data files that may contain a matching key are rewritten; every
+        other file moves into the new snapshot untouched, so merge cost is
+        O(affected files + batch), not O(table) — the property that keeps
+        per-generation MERGEs viable on a 10^10-row frontier.
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            if upserts is None:
+                return self.current_snapshot_id() or 0
+            return self.overwrite(upserts, meta=meta)
+        if upserts is not None:
+            # pin the (possibly expensive) source plan: it is consumed by the
+            # affected-file detection, the kept/landing joins, and the write
+            upserts = upserts.localCheckpoint(eager=False)
+
+        parts = [d.select(*keys) for d in (upserts, delete_keys) if d is not None]
+        if not parts:
+            return self.current_snapshot_id() or 0
+        all_keys = parts[0]
+        for p in parts[1:]:
+            all_keys = all_keys.unionByName(p)
+        all_keys = all_keys.dropDuplicates()
+
+        affected_files = self._affected_files(spark, snap, keys, all_keys)
+        untouched = [f for f in snap.files if f not in set(affected_files)]
+
+        if not affected_files:
+            if upserts is None:
+                return self._commit(
+                    "merge", snap.files, meta or {}, self._carry(snap, snap.files)
+                )
+            new_files, new_stats = self._write_files(upserts)
+            files = untouched + new_files
+            return self._commit(
+                "merge", files, meta or {}, {**self._carry(snap, files), **new_stats}
+            )
+
+        tgt = spark.read.parquet(*affected_files)
+        if delete_keys is not None:
+            tgt = tgt.join(F.broadcast(delete_keys.select(*keys)), keys, "left_anti")
+        tgt = tgt.alias("tgt")
+
+        if upserts is None:
+            merged = tgt
+        else:
+            src = upserts.alias("src")
+            cond = " AND ".join(f"tgt.{k} <=> src.{k}" for k in keys)
+            keep_pred = f"NOT ({guard})" if guard else "false"
+            # target rows that survive: no source match, or guard says keep
+            kept = (
+                tgt.join(src, on=[F.expr(cond)], how="left")
+                .where(f"src.{keys[0]} IS NULL OR ({keep_pred})")
+                .select("tgt.*")
+            )
+            # source rows that land: all, unless a kept target row shadows them
+            if guard:
+                landing = (
+                    src.join(tgt, on=[F.expr(cond)], how="left")
+                    .where(f"tgt.{keys[0]} IS NULL OR ({guard})")
+                    .select("src.*")
+                )
+            else:
+                landing = upserts
+            merged = kept.unionByName(landing)
+
+        new_files, new_stats = self._write_files(merged)
+        files = untouched + new_files
+        return self._commit(
+            "merge", files, meta or {}, {**self._carry(snap, files), **new_stats}
+        )
 
     def merge_upsert(
         self,
@@ -147,66 +409,20 @@ class SnapTable:
         guard: str | None = None,
         meta: dict[str, Any] | None = None,
     ) -> int:
-        """MERGE INTO semantics: upsert ``source`` rows into the table by
-        ``key``; a matched target row is replaced only when ``guard`` (a SQL
-        predicate over ``src``/``tgt`` aliases) holds — the optimistic-
-        concurrency analogue of Algolia's ``IncrementFrom`` partial update
-        (reference src/indexers/MainWatchIndexer.ts:36-45).
+        """MERGE INTO semantics: upsert ``source`` rows by ``key`` (see
+        merge_apply)."""
+        return self.merge_apply(spark, key, upserts=source, guard=guard, meta=meta)
 
-        Copy-on-write at file granularity (Iceberg-style): only data files
-        containing a matching key are rewritten; every other file is
-        carried into the new snapshot untouched, so merge cost is
-        O(affected files + batch), not O(table) — the property that keeps
-        per-generation MERGEs viable on a 10^10-row packages table.
-        """
-        keys = [key] if isinstance(key, str) else list(key)
-        snap = self.snapshot()
-        if snap is None or not snap.files:
-            return self.overwrite(source, meta=meta)
-
-        from urllib.parse import unquote, urlparse
-
-        src_keys = source.select(*keys).dropDuplicates()
-        from pyspark.sql import functions as F
-
-        affected_rows = (
-            spark.read.parquet(*snap.files)
-            .withColumn("_f", F.input_file_name())
-            .join(F.broadcast(src_keys), on=keys, how="left_semi")
-            .select("_f")
-            .distinct()
-            .collect()
-        )
-        affected = {unquote(urlparse(r["_f"]).path) for r in affected_rows}
-        untouched = [f for f in snap.files if f not in affected]
-        affected_files = [f for f in snap.files if f in affected]
-
-        if not affected_files:
-            new_files = self._write_files(source)
-            return self._commit("merge", untouched + new_files, meta or {})
-
-        tgt = spark.read.parquet(*affected_files).alias("tgt")
-        src = source.alias("src")
-        cond = " AND ".join(f"tgt.{k} <=> src.{k}" for k in keys)
-        keep_pred = f"NOT ({guard})" if guard else "false"
-        # target rows that survive: no source match, or guard says keep
-        kept = (
-            tgt.join(src, on=[F_expr(cond)], how="left")
-            .where(f"src.{keys[0]} IS NULL OR ({keep_pred})")
-            .select("tgt.*")
-        )
-        # source rows that land: all, unless a kept target row shadows them
-        if guard:
-            landing = (
-                src.join(tgt, on=[F_expr(cond)], how="left")
-                .where(f"tgt.{keys[0]} IS NULL OR ({guard})")
-                .select("src.*")
-            )
-        else:
-            landing = source
-        merged = kept.unionByName(landing)
-        new_files = self._write_files(merged)
-        return self._commit("merge", untouched + new_files, meta or {})
+    def merge_delete(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key: str | list[str],
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        """Delete rows matching ``keys_df`` file-granularly: only files that
+        may contain a matching key are rewritten (minus matches)."""
+        return self.merge_apply(spark, key, delete_keys=keys_df, meta=meta)
 
     def rollback(self, snapshot_id: int | None) -> int | None:
         """Make ``snapshot_id`` (or the empty table when None) the visible
@@ -214,17 +430,35 @@ class SnapTable:
         used by checkpoint resume to discard a half-applied generation."""
         if snapshot_id == self.current_snapshot_id():
             return snapshot_id
-        files = [] if snapshot_id is None else self.snapshot(snapshot_id).files
-        return self._commit("rollback", files, {"to": snapshot_id})
+        old = self.snapshot(snapshot_id) if snapshot_id is not None else None
+        files = [] if old is None else old.files
+        return self._commit("rollback", files, {"to": snapshot_id}, self._carry(old, files))
 
     def delete_where(
         self, spark: SparkSession, predicate: str, meta: dict[str, Any] | None = None
     ) -> int:
-        df = self.read(spark).where(f"NOT ({predicate})")
-        return self.overwrite(df, meta=meta)
-
-
-def F_expr(s: str):
-    from pyspark.sql import functions as F
-
-    return F.expr(s)
+        """Delete rows matching ``predicate``, rewriting only the files that
+        contain at least one matching row (file-granular, like merge)."""
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            return self.current_snapshot_id() or 0
+        rows = (
+            spark.read.parquet(*snap.files)
+            .where(predicate)
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+        affected = {_local_path(r["_f"]) for r in rows}
+        if not affected:
+            return self._commit(
+                "delete", snap.files, meta or {}, self._carry(snap, snap.files)
+            )
+        affected_files = [f for f in snap.files if f in affected]
+        untouched = [f for f in snap.files if f not in affected]
+        kept = spark.read.parquet(*affected_files).where(f"NOT ({predicate})")
+        new_files, new_stats = self._write_files(kept)
+        files = untouched + new_files
+        return self._commit(
+            "delete", files, meta or {}, {**self._carry(snap, files), **new_stats}
+        )

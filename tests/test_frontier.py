@@ -102,10 +102,28 @@ class TestBootstrap:
                 fr.where(F.col("state") == "robots_blocked").select("url"), "url", "left_semi"
             ).count() == 0
 
-        # seen set equals the successfully scheduled unique urls
-        assert crawl.seen.count(spark) == fr.where(F.col("state") != "pending").join(
-            fr.where(F.col("state") == "dup"), "url", "left_anti"
-        ).count() or crawl.seen.count(spark) > 0
+        # seen-set invariant, exact: seen == URLs whose frontier row reached a
+        # successfully-processed terminal state (done incl. dups, not_found).
+        # robots-blocked and lost rows were never fetched -> never seen; a
+        # transiently-failed URL enters seen only after its successful retry.
+        seen_urls = {r["url"] for r in crawl.seen.table.read(spark).select("url").collect()}
+        terminal_urls = {
+            r["url"]
+            for r in fr.where(F.col("state").isin("done", "not_found")).collect()
+        }
+        assert seen_urls == terminal_urls
+
+        # retry-loss regression: with transient failures enabled, every named
+        # doc must end up in packages or quarantined not_found — a retried
+        # registry URL must NOT be dropped as a dup on its second attempt
+        nf_docs = (
+            crawl.not_found.read(spark)
+            .where(F.col("kind") == "registry_doc")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        assert n_pkgs + nf_docs == N_DOCS
 
         # packages got span-derived enrichment (hop 2)
         enriched = pkgs.where(F.col("changelogFilename").isNotNull()).count()
@@ -148,6 +166,153 @@ class TestBootstrap:
         sa = {r["url"] for r in a.seen.table.read(spark).select("url").collect()}
         sb = {r["url"] for r in b2.seen.table.read(spark).select("url").collect()}
         assert sa == sb
+
+
+class TestRetryClasses:
+    def test_429_pauses_whole_host_without_burning_retries(self, spark, universe, tmp_path):
+        """T5 throttle class (reference src/npm/index.ts:213-227): a 429
+        pauses the host's entire queue for HOST_PAUSE_S; throttled rows stay
+        pending with retries unchanged and defer together."""
+        c = Crawl(spark, str(tmp_path / "a"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=1.0,
+                  transient_modulus=0, throttle_modulus=4)
+        c.seed(universe["raw_docs"].select("doc_id"))
+        m1 = c.run_generation(1)
+        assert m1["registry_throttled"] > 0
+        assert "registry.npmjs.org" in c.host_pauses
+        fr = c.frontier.read(spark)
+        deferred = fr.where(
+            (F.col("state") == "pending")
+            & F.col("next_attempt_at").isNotNull()
+            & (F.col("retries") == 0)
+        )
+        assert deferred.count() == m1["registry_throttled"]
+        # the pause covers the host's REMAINING queue too: while paused, no
+        # registry row moves (other hosts — the hop-2 CDN rows — still run)
+        def reg_pending():
+            return (
+                c.frontier.read(spark)
+                .where((F.col("host") == "registry.npmjs.org") & (F.col("state") == "pending"))
+                .count()
+            )
+
+        before = reg_pending()
+        m2 = c.run_generation(2)
+        assert reg_pending() == before
+        assert m2["registry_ok"] == 0
+
+    def test_throttled_crawl_completes_after_pause(self, spark, universe, tmp_path):
+        """After the pause expires the throttled URLs are re-fetched —
+        nothing is lost and no retry budget was spent on 429s."""
+        c = Crawl(spark, str(tmp_path / "b"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.03,
+                  transient_modulus=0, throttle_modulus=4)
+        c.seed(universe["raw_docs"].select("doc_id"))
+        c.run_bootstrap(max_generations=60, log=None)
+        n_pkgs = c.packages.read(spark).count()
+        nf = (c.not_found.read(spark).where(F.col("kind") == "registry_doc")
+              .select("doc_id").distinct().count())
+        assert n_pkgs + nf == N_DOCS
+        assert c.frontier.read(spark).where(F.col("retries") > 0).count() == 0
+
+
+class TestFrontierGC:
+    def test_gc_bounds_frontier_same_results(self, spark, universe, tmp_path):
+        """With gc_terminal=True the frontier GCs successfully-processed rows
+        in the same MERGE pass (reference deletes isProcessed:1 rows every
+        minute, src/indexers/MainWatchIndexer.ts:51-61) — packages output
+        must be identical, frontier bytes bounded by the active set."""
+        a = Crawl(spark, str(tmp_path / "a"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13)
+        a.seed(universe["raw_docs"].select("doc_id"))
+        a.run_bootstrap(max_generations=60, log=None)
+        b = Crawl(spark, str(tmp_path / "b"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13,
+                  gc_terminal=True)
+        b.seed(universe["raw_docs"].select("doc_id"))
+        b.run_bootstrap(max_generations=60, log=None)
+
+        pa, pb = a.packages.read(spark), b.packages.read(spark)
+        assert pa.count() == pb.count()
+        volatile = {"lastCrawl", "_revision"}
+        cols = sorted(set(pa.columns) - volatile)
+
+        def digest(df):
+            return {
+                r["h"] for r in df.select(F.md5(F.to_json(F.struct(*cols))).alias("h")).collect()
+            }
+
+        assert digest(pa) == digest(pb)
+        # terminal rows are gone; what survives is the error/blocked residue
+        fb = b.frontier.read(spark)
+        assert fb.where(F.col("state").isin("done", "not_found")).count() == 0
+        assert fb.count() < a.frontier.read(spark).count()
+        # quarantine unaffected by GC
+        assert b.not_found.read(spark).count() == a.not_found.read(spark).count()
+
+    def test_generation_commits_are_merge_not_overwrite(self, spark, universe, tmp_path):
+        """Scale contract: after seeding, no generation may rewrite the whole
+        frontier — commits are MERGE (affected files only) or append."""
+        c = Crawl(spark, str(tmp_path / "c"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=0)
+        c.seed(universe["raw_docs"].select("doc_id"))
+        c.run_generation(1)
+        c.run_generation(2)
+        ops = [s.operation for s in c.frontier.history()]
+        assert ops[0] == "overwrite"  # the seed
+        assert set(ops[1:]) <= {"merge", "append"}
+        # a merge carries at least the untouched-file invariant end-to-end:
+        # every file in the latest snapshot either existed before or is new,
+        # and at least one pre-merge file survives across generation 2
+        hist = c.frontier.history()
+        gen2_parent = hist[-2].files if len(hist) >= 2 else []
+        carried = set(gen2_parent) & set(hist[-1].files)
+        assert carried or not gen2_parent
+
+
+class TestBootstrapLifecycle:
+    def test_finalize_promotes_and_redo_window_triggers(self, spark, universe, tmp_path):
+        """Promote = manifest commit over the same immutable files
+        (reference copies bootstrap index -> prod, src/bootstrap.ts:167-200);
+        redo re-seeds after the 30-day window (src/config.ts:173)."""
+        from npm_search_spark.frontier import BOOTSTRAP_REDO_MS
+
+        c = Crawl(spark, str(tmp_path / "c"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=0)
+        c.seed(universe["raw_docs"].select("doc_id"))
+        c.run_bootstrap(max_generations=60, log=None)
+        now = 1_755_000_000_000
+        prod = c.finalize_bootstrap(now_ms=now)
+        assert prod.snapshot().files == c.packages.snapshot().files  # O(1) copy
+        n_prod = prod.read(spark).count()
+        assert n_prod == c.packages.read(spark).count()
+        st = c.state.load()
+        assert st.stage == "watch" and st.bootstrap_done
+        assert st.bootstrap_last_done == now
+
+        assert not c.needs_bootstrap_redo(now + 86_400_000)
+        assert c.needs_bootstrap_redo(now + BOOTSTRAP_REDO_MS)
+
+        # redo: fresh seen + frontier epoch; prod keeps serving
+        c.redo_bootstrap(universe["raw_docs"].select("doc_id"))
+        assert c.seen.count(spark) == 0
+        fr = c.frontier.read(spark)
+        assert fr.where(F.col("state") == "pending").count() == N_DOCS
+        assert prod.read(spark).count() == n_prod
+        c.run_bootstrap(max_generations=60, log=None)
+        prod2 = c.finalize_bootstrap(now_ms=now + BOOTSTRAP_REDO_MS)
+        assert prod2.read(spark).count() == n_prod  # same universe re-crawled
+
+    def test_refresh_dims_picks_up_universe_changes(self, spark, universe, tmp_path):
+        c = Crawl(spark, str(tmp_path / "d"), universe, 10_000_000)
+        old = c._hits_ranked
+        boosted = universe["jsdelivr_hits"].withColumn(
+            "hits", F.col("hits") + F.lit(10_000_000)
+        )
+        c.universe = {**c.universe, "jsdelivr_hits": boosted}
+        c.refresh_dims()
+        assert c._hits_ranked is not old
+        assert c._hits_ranked.agg(F.min("hits")).first()[0] >= 10_000_000
 
 
 class TestCrawlOrderingVsSimulator:

@@ -64,6 +64,29 @@ def test_periodic_refresh_and_reconcile(spark, universe, crawl):
     assert run_periodic(crawl, later)["periodic_due"] == 0
 
 
+def test_periodic_error_defers_one_day(spark, universe, crawl):
+    """T5 periodic-error class (reference PeriodicBackgroundIndexer.ts:
+    170-183): an errored package keeps its old values and becomes due again
+    tomorrow, not in 30 days."""
+    from npm_search_spark.periodic import DAY_MS, PERIODIC_ERROR_RETRY_MS
+
+    later = NOW + PERIODIC_WINDOW_MS + 1
+    m = run_periodic(crawl, later, error_modulus=3)
+    assert m["periodic_errors"] > 0
+    assert m["periodic_refreshed"] + m["periodic_errors"] == m["periodic_due"]
+    after = crawl.packages.read(spark)
+    # errored packages: stamped to be due again in exactly +1 day
+    errored = after.where(
+        F.col("_periodicDataUpdatedAt")
+        == later - PERIODIC_WINDOW_MS + PERIODIC_ERROR_RETRY_MS
+    )
+    assert errored.count() == m["periodic_errors"]
+    # not due now, due again tomorrow
+    assert run_periodic(crawl, later)["periodic_due"] == 0
+    m2 = run_periodic(crawl, later + DAY_MS + 1)
+    assert m2["periodic_due"] == m["periodic_errors"]
+
+
 def test_one_time_reprobe_and_deferral(spark, crawl):
     pkgs = crawl.packages.read(spark)
     due = pkgs.where(

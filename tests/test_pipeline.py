@@ -47,6 +47,23 @@ class TestDedup:
         assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
         assert (1, 4) not in pairs
 
+    def test_ngram_jaccard_max_df_prune(self, spark, near_dup_docs):
+        """max_df caps posting lists (scale guard against stop-grams): a cap
+        above the fixture's max document frequency is a no-op; max_df=1
+        removes every shared gram and hence every pair."""
+        from npm_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5, max_df=3).collect()
+        }
+        assert capped == exact
+        assert ngram_jaccard_pairs(near_dup_docs, threshold=0.5, max_df=1).count() == 0
+
     def test_minhash_lsh_finds_exact_and_near(self, spark, near_dup_docs):
         from npm_search_spark.pipeline.dedup import minhash_lsh_dedup_pairs
 
@@ -91,6 +108,58 @@ class TestSimilarity:
         # vectors keeps only same-bucket candidates — just assert the
         # approximation is usefully better than chance (1/16)
         assert recall >= 0.15
+
+    @pytest.fixture(scope="class")
+    def clustered_vecs(self, spark):
+        """300 vectors in 15 tight clusters (deterministic hash noise) — the
+        regime ANN indexes are for; random isotropic vectors have no
+        locality for any ANN method to exploit."""
+        import hashlib
+
+        def h(*xs):
+            b = hashlib.md5(("|".join(map(str, xs))).encode()).digest()
+            return int.from_bytes(b[:8], "big") / 2**63 - 1.0  # [-1, 1)
+
+        dim, n_clusters = 16, 15
+        rows = []
+        for i in range(300):
+            c = i % n_clusters
+            vec = [h("c", c, d) + 0.02 * h("n", i, d) for d in range(dim)]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_lsh_recall_gate_clustered(self, spark, clustered_vecs):
+        """The ≥0.9 recall gate at stated params: multiprobe LSH (8 planes,
+        radius 1) on clustered data must recover ≥90% of the exact top-5."""
+        from npm_search_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+
+        e = clustered_vecs
+        q = e.where(F.col("vec_id") < 10)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann_topk(e, q, dim=16, k=5, n_planes=8, probe_radius=1).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.9
+
+    def test_ivf_recall_gate_clustered(self, spark, clustered_vecs):
+        """IVF with 16 seed cells, nprobe=4 on clustered data: ≥0.9 recall
+        vs the exact baseline."""
+        from npm_search_spark.pipeline.similarity import (
+            cosine_topk,
+            ivf_ann_topk,
+            ivf_centroids,
+        )
+
+        e = clustered_vecs
+        q = e.where(F.col("vec_id") < 10)
+        cents = ivf_centroids(e, k=16)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann_topk(e, q, cents, k=5, nprobe=4).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.9
 
     def test_brute_force_self_excluded(self, spark, sf_dir):
         from npm_search_spark.pipeline.similarity import cosine_topk

@@ -69,6 +69,36 @@ def test_seen_exact_check_never_shuffles_big_side(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_centroid_seed_is_bounded_topk(spark, sf_dir):
+    """Centroid seeding must compile to TakeOrderedAndProject (per-partition
+    bounded heap, O(n) scan), never a global Sort."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(
+        e.select("vec_id", "embedding").orderBy(F.xxhash64("vec_id")).limit(16)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan and "Exchange rangepartitioning" not in plan
+
+
+def test_politeness_partial_path_no_shuffle_of_pending(spark):
+    """The production-budget politeness path must scan pending narrowly
+    (mapInArrow partial top-k) and shuffle only the O(partitions x budget)
+    survivors — no Exchange may consume the full pending relation."""
+    from npm_search_spark.frontier import politeness_schedule
+
+    pending = spark.createDataFrame(
+        [(f"https://h{i%3}.org/{i}", f"h{i%3}.org", float(i)) for i in range(1000)],
+        "url string, host string, priority double",
+    )
+    out = politeness_schedule(pending, {"h0.org": 5}, default_budget=5, strategy="partial")
+    plan = plan_of(out)
+    # survivors pass through Python (Arrow) before any Exchange; the
+    # winners come back via a broadcast join, not a shuffle of pending
+    assert "MapInArrow" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(url" not in plan
+
+
 def test_whole_stage_codegen_on_span_functions(spark):
     from npm_search_spark.functions import spans as SP
     from npm_search_spark.schema import DOCUMENTS

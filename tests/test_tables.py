@@ -96,6 +96,30 @@ class TestSeenSet:
         )
         assert [r["url"] for r in out.collect()] == ["https://registry.npmjs.org/react2"]
 
+    def test_exact_check_prunes_files(self, spark, tmp_path):
+        """A small suspect batch against a large seen table must read only
+        the files whose bucket range can contain the suspects — sub-linear
+        in table size (manifest-stats pruning over the (bucket, key)
+        range-clustered layout)."""
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        for g in range(4):
+            urls = [f"https://registry.npmjs.org/pkg-{g}-{i}" for i in range(500)]
+            s.add(spark, self._urls(spark, urls), n_partitions=4)
+        out = s.filter_unseen(
+            spark,
+            self._urls(
+                spark,
+                [
+                    "https://registry.npmjs.org/pkg-0-1",
+                    "https://registry.npmjs.org/pkg-3-499",
+                    "https://registry.npmjs.org/never-seen",
+                ],
+            ),
+        )
+        assert [r["url"] for r in out.collect()] == ["https://registry.npmjs.org/never-seen"]
+        assert s.last_prune["files_total"] >= 8
+        assert 0 < s.last_prune["files_scanned"] < s.last_prune["files_total"]
+
     def test_incremental_adds(self, spark, tmp_path):
         s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=500)
         all_urls = [f"https://cdn.jsdelivr.net/npm/pkg{i}@1.0.0/x.js" for i in range(300)]
@@ -141,3 +165,61 @@ class TestMergeCopyOnWrite:
         t = ST(str(tmp_path / "t2"))
         t.merge_upsert(spark, spark.createDataFrame([(1, "x")], "id int, v string"), key="id")
         assert t.read(spark).count() == 1
+
+    def test_merge_delete_file_granular(self, spark, tmp_path):
+        """merge_delete mirrors merge_upsert: only files containing a
+        matching key are rewritten, everything else is carried verbatim."""
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(i, "a") for i in range(100)], "id int, v string").coalesce(1))
+        s1 = t.snapshot()
+        t.append(spark.createDataFrame([(i, "b") for i in range(100, 200)], "id int, v string").coalesce(1))
+        s2 = t.snapshot()
+        t.merge_delete(spark, spark.createDataFrame([(150,)], "id int"), key="id")
+        s3 = t.snapshot()
+        assert set(s1.files) <= set(s3.files)          # batch-1 file untouched
+        assert set(s2.files) - set(s3.files)           # batch-2 file rewritten
+        ids = {r["id"] for r in t.read(spark).collect()}
+        assert 150 not in ids and len(ids) == 199
+
+    def test_merge_apply_upsert_and_delete_one_pass(self, spark, tmp_path):
+        """One MERGE commit applying deletes + upserts together (the
+        frontier's per-generation commit shape with GC enabled)."""
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, v string"))
+        n_commits_before = len(t.history())
+        t.merge_apply(
+            spark,
+            "id",
+            upserts=spark.createDataFrame([(2, "B"), (4, "d")], "id int, v string"),
+            delete_keys=spark.createDataFrame([(3,)], "id int"),
+        )
+        assert len(t.history()) == n_commits_before + 1  # single commit
+        got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+        assert got == {1: "a", 2: "B", 4: "d"}
+
+
+class TestFileStats:
+    def test_stats_recorded_and_prune(self, spark, tmp_path):
+        t = SnapTable(str(tmp_path / "t"), stats_cols=["id"])
+        t.append(spark.createDataFrame([(i,) for i in range(100)], "id int").coalesce(1))
+        t.append(spark.createDataFrame([(i,) for i in range(100, 200)], "id int").coalesce(1))
+        snap = t.snapshot()
+        assert len(snap.files) == 2
+        ranges = sorted(snap.file_stats[f]["id"] for f in snap.files)
+        assert ranges == [[0, 99], [100, 199]]
+        # driver-side pruning with zero I/O
+        assert len(t.files_matching("id", [5])) == 1
+        assert len(t.files_matching("id", [5, 150])) == 2
+        assert t.files_matching("id", [500]) == []
+
+    def test_stats_prune_bounds_merge(self, spark, tmp_path):
+        """A merge whose source keys fall wholly outside a file's stats
+        range must not rewrite that file — even before the exact scan."""
+        t = SnapTable(str(tmp_path / "t"), stats_cols=["id"])
+        t.append(spark.createDataFrame([(i, "a") for i in range(100)], "id int, v string").coalesce(1))
+        low = set(t.snapshot().files)
+        t.append(spark.createDataFrame([(i, "b") for i in range(1000, 1100)], "id int, v string").coalesce(1))
+        t.merge_upsert(spark, spark.createDataFrame([(1050, "B")], "id int, v string"), key="id")
+        assert low <= set(t.snapshot().files)
+        assert {r["v"] for r in t.read(spark).where("id = 1050").collect()} == {"B"}
