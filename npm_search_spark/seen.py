@@ -284,26 +284,31 @@ class SeenSet:
         range partitions (and hence files) per append; default lets AQE
         size them."""
         prev_snap = self.table.current_snapshot_id()
-        keyed = (
+        pinned = (
             self.keyed(urls.select(url_col), url_col)
             .select("bucket", "key", F.col(url_col).alias("url"))
             .dropDuplicates(["key"])
+            # pin BEFORE the range partitioning: repartitionByRange runs a
+            # sampling pass over its child, which would otherwise re-execute
+            # the whole upstream batch plan (bloom UDF, joins) a second time
+            .localCheckpoint(eager=False)
         )
         # range-cluster by (bucket, key): each data file covers a narrow
         # contiguous bucket range, so the manifest's per-file bucket
         # stats (and parquet row-group stats) actually prune lookups
         range_cols = [F.col("bucket"), F.col("key")]
-        keyed = (
-            keyed.repartitionByRange(n_partitions, *range_cols)
+        ranged = (
+            pinned.repartitionByRange(n_partitions, *range_cols)
             if n_partitions
-            else keyed.repartitionByRange(*range_cols)
+            else pinned.repartitionByRange(*range_cols)
         )
-        rows = keyed.sortWithinPartitions("bucket", "key").localCheckpoint(eager=False)
+        rows = ranged.sortWithinPartitions("bucket", "key")
         sid = self.table.append(rows, meta={"op": "seen-add"})
         if self._bloom is not None and self._bloom_snapshot == prev_snap:
-            # incremental: fold only the appended batch into the cached bloom
-            # (rows is checkpointed above, so this does not re-run the plan)
-            self._fold_into_bloom(self._shards_of(rows))
+            # incremental: fold only the appended batch into the cached
+            # bloom, reading the pre-shuffle pinned batch (the bloom is
+            # partitioning-agnostic; this skips re-running the range shuffle)
+            self._fold_into_bloom(self._shards_of(pinned))
             self._bloom_snapshot = sid
         return sid
 

@@ -35,6 +35,19 @@ from ..schema import CHANGES, FRONTIER
 from ..state import CrawlState
 
 
+def registry_info(spark, changes_dir: str) -> dict:
+    """Registry progress probe (S4): total distinct docs + the current
+    update seq of the change feed — the reference's npm.getInfo
+    (src/npm/index.ts:103-124), used to report bootstrap/watch progress."""
+    from ..schema import CHANGES
+
+    df = spark.read.schema(CHANGES).parquet(changes_dir)
+    row = df.agg(
+        F.count_distinct("id").alias("nb_docs"), F.max("seq").alias("seq")
+    ).first()
+    return {"nb_docs": row["nb_docs"], "seq": int(row["seq"] or 0)}
+
+
 def dedup_last_wins(changes: DataFrame) -> DataFrame:
     """Keep the newest change per package id (A2)."""
     return (

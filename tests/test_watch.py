@@ -45,6 +45,17 @@ def test_dedup_last_wins(spark):
     assert got == {"a": (2, False), "b": (3, True)}
 
 
+def test_registry_info(spark, tmp_path):
+    from npm_search_spark.streaming.watch import registry_info
+
+    changes_dir = str(tmp_path / "ch")
+    os.makedirs(changes_dir)
+    spark.createDataFrame(
+        [(1, "a", False, "r1"), (2, "a", False, "r2"), (3, "b", True, "r3")], CHANGES
+    ).coalesce(1).write.mode("append").parquet(changes_dir)
+    assert registry_info(spark, changes_dir) == {"nb_docs": 2, "seq": 3}
+
+
 def test_watch_applies_changes(spark, universe, bootstrapped, tmp_path):
     c = bootstrapped
     pkgs_before = c.packages.read(spark)
