@@ -312,6 +312,20 @@ class SeenSet:
             self._bloom_snapshot = sid
         return sid
 
+    def compact(self, spark: SparkSession, n_partitions: int | None = None) -> int:
+        """Rewrite the seen table into one globally (bucket, key)-clustered
+        file set. Incremental adds append one file set per generation, so
+        after many generations a lookup touches ~one file per append; a
+        periodic compact restores one-file-per-bucket-range locality."""
+        sid = self.table.compact(
+            spark, cluster_by=["bucket", "key"], n_partitions=n_partitions,
+            meta={"op": "seen-compact"},
+        )
+        # rows unchanged -> the cached bloom is still exact for this snapshot
+        if self._bloom is not None:
+            self._bloom_snapshot = sid
+        return sid
+
     def count(self, spark: SparkSession) -> int:
         if self.table.current_snapshot_id() is None:
             return 0

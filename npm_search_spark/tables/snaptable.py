@@ -424,6 +424,29 @@ class SnapTable:
         may contain a matching key are rewritten (minus matches)."""
         return self.merge_apply(spark, key, delete_keys=keys_df, meta=meta)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        cluster_by: list[str] | None = None,
+        n_partitions: int | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        """Rewrite the table as one range-clustered file set — the
+        maintenance op that bounds file-count growth from incremental
+        appends and restores stats locality (each file again covers a
+        narrow cluster-key range, so manifest/row-group pruning stays
+        effective). O(table); run off the hot path, like Iceberg's
+        rewrite_data_files."""
+        df = self.read(spark)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = (
+                df.repartitionByRange(n_partitions, *cols)
+                if n_partitions
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cluster_by)
+        return self.overwrite(df, meta={**(meta or {}), "op": "compact"})
+
     def rollback(self, snapshot_id: int | None) -> int | None:
         """Make ``snapshot_id`` (or the empty table when None) the visible
         state again via a new commit whose file list is that snapshot's —

@@ -120,6 +120,30 @@ class TestSeenSet:
         assert s.last_prune["files_total"] >= 8
         assert 0 < s.last_prune["files_scanned"] < s.last_prune["files_total"]
 
+    def test_compact_restores_locality(self, spark, tmp_path):
+        """Many incremental appends -> one compacted, (bucket, key)-clustered
+        file set: fewer files, same rows, pruning tighter than before."""
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        for g in range(6):
+            urls = [f"https://registry.npmjs.org/c-{g}-{i}" for i in range(300)]
+            s.add(spark, self._urls(spark, urls), n_partitions=4)
+        before_files = len(s.table.snapshot().files)
+        n_before = s.count(spark)
+        s.compact(spark, n_partitions=4)
+        snap = s.table.snapshot()
+        assert len(snap.files) == 4 < before_files
+        assert s.count(spark) == n_before
+        # clustered: every file carries bucket stats and ranges are disjoint
+        ranges = sorted(snap.file_stats[f]["bucket"] for f in snap.files)
+        assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+        # lookups still exact after compaction (bloom survives — same rows)
+        out = s.filter_unseen(
+            spark,
+            self._urls(spark, ["https://registry.npmjs.org/c-0-0", "https://x.org/new"]),
+        )
+        assert [r["url"] for r in out.collect()] == ["https://x.org/new"]
+        assert s.last_prune["files_total"] == 4
+
     def test_incremental_adds(self, spark, tmp_path):
         s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=500)
         all_urls = [f"https://cdn.jsdelivr.net/npm/pkg{i}@1.0.0/x.js" for i in range(300)]
