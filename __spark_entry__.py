@@ -474,12 +474,20 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_embedding_dup_pairs(spark, sf):
-    """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only)."""
+    """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only). Random
+    embeddings have no high-cosine pairs, so exact copies of every 20th
+    vector (ids +1000000) are unioned in — every copy must be recovered as
+    a cos=1.0 pair through the LSH buckets."""
     from npm_search_spark.pipeline.similarity import embedding_cosine_dup_pairs
 
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     dim = len(e.select("embedding").first()[0])
-    return embedding_cosine_dup_pairs(e, threshold=0.9, dim=dim, n_planes=4)
+    dups = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_cosine_dup_pairs(
+        e.unionByName(dups), threshold=0.9, dim=dim, n_planes=4
+    ).orderBy("a", "b")
 
 
 def q_multimodal_decode(spark, sf):
@@ -836,6 +844,41 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, text,
                            list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
                     FROM documents))
+        """,
+        "frontier_schedule": """
+            SELECT host, url, round(priority, 6) AS priority FROM (
+              SELECT host, url, priority,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority DESC, url ASC) AS rn
+              FROM (
+                SELECT CASE event_id % 3
+                         WHEN 0 THEN 'registry.npmjs.org'
+                         WHEN 1 THEN 'cdn.jsdelivr.net'
+                         ELSE 'raw.githubusercontent.com'
+                       END AS host,
+                       'https://' || host || '/item/' || event_id AS url,
+                       value AS priority
+                FROM events))
+            WHERE rn <= 10 * (CASE host
+                                WHEN 'registry.npmjs.org' THEN 6
+                                WHEN 'cdn.jsdelivr.net' THEN 6
+                                WHEN 'raw.githubusercontent.com' THEN 20
+                              END)
+        """,
+        "embedding_dup_pairs": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 20 = 0
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                                y.embedding::DOUBLE[]), 6) AS cos
+            FROM u x JOIN u y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                               y.embedding::DOUBLE[]), 6) >= 0.9
+            ORDER BY a, b
         """,
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (
