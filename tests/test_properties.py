@@ -1,0 +1,132 @@
+"""Property-based invariants (hypothesis): URL canonicalization algebra,
+politeness-scheduler exactness vs a brute-force reference on random
+frontiers (both strategies), and Bloom no-false-negatives."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+HOSTS = ["registry.npmjs.org", "cdn.jsdelivr.net", "raw.githubusercontent.com", "x.org"]
+
+url_segment = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyzABCDEFGHIJ0123456789-_.~%"),
+    min_size=1,
+    max_size=12,
+)
+
+
+class TestCanonicalizeProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(HOSTS), url_segment, st.booleans(), st.booleans()),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def test_idempotent_and_variant_collapsing(self, spark, rows):
+        """canon(canon(u)) == canon(u); scheme/host case, trailing slash and
+        fragments never survive canonicalization."""
+        from npm_search_spark.functions.urls import canonicalize_url
+
+        urls = [
+            ("HTTPS://" if up else "https://")
+            + (h.upper() if up else h)
+            + "/"
+            + seg
+            + ("/" if slash else "")
+            + ("#frag" if up else "")
+            for (h, seg, up, slash) in rows
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = [
+            r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+        df2 = spark.createDataFrame([(u,) for u in once], "url string")
+        twice = [
+            r["c"] for r in df2.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+        assert once == twice
+        for c in once:
+            assert c.startswith("https://")
+            host = c.split("/")[2]
+            assert host == host.lower()
+            assert "#" not in c and not c.endswith("/")
+
+
+class TestPolitenessExactness:
+    @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(HOSTS),
+                st.integers(min_value=0, max_value=50),  # priority (ties likely)
+                st.integers(min_value=0, max_value=10_000),
+            ),
+            min_size=1,
+            max_size=150,
+        ),
+        st.integers(min_value=1, max_value=9),  # default budget
+    )
+    def test_both_strategies_match_bruteforce(self, spark, rows, budget):
+        """Either strategy returns EXACTLY the top-budget rows per host
+        under (priority DESC, url ASC) — compared against a straight
+        Python reference on adversarially small random frontiers with
+        priority ties."""
+        from npm_search_spark.frontier import politeness_schedule
+
+        data = [
+            (f"https://{h}/p{u}", h, float(p)) for (h, p, u) in rows
+        ]
+        data = list({d[0]: d for d in data}.values())  # unique urls
+        df = spark.createDataFrame(data, "url string, host string, priority double")
+
+        expected = set()
+        by_host: dict[str, list] = {}
+        for url, h, p in data:
+            by_host.setdefault(h, []).append((url, p))
+        for h, items in by_host.items():
+            items.sort(key=lambda t: (-t[1], t[0]))
+            expected |= {u for u, _ in items[:budget]}
+
+        for strategy in ("partial", "range"):
+            got = {
+                r["url"]
+                for r in politeness_schedule(
+                    df, {}, default_budget=budget, strategy=strategy
+                ).collect()
+            }
+            assert got == expected, f"strategy={strategy}"
+
+
+class TestBloomProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=500)
+    )
+    def test_no_false_negatives(self, keys):
+        """Every added key must hit — the property URL-seen correctness
+        rests on (false positives go to the exact check; false negatives
+        would re-crawl forever)."""
+        from npm_search_spark.seen import BloomShards, DenseBloom
+
+        keys_arr = np.array(keys, dtype=np.int64)
+        buckets = (keys_arr % 16).astype(np.int64) % 16
+        buckets = np.abs(buckets)
+        shards = BloomShards(m_bits_per_shard=1024, k=4)
+        shards.add(buckets, keys_arr)
+        dense = DenseBloom(1024, 4, 16)
+        for b, bm in shards.shards.items():
+            dense.merge_shard(b, bm)
+        assert dense.might_contain(buckets, keys_arr).all()
+        assert shards.might_contain(buckets, keys_arr).all()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _quiet(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    yield
