@@ -378,7 +378,15 @@ class Crawl:
         self.spark = spark
         self.root = root
         self.gc_terminal = gc_terminal
-        self.frontier = SnapTable(f"{root}/frontier", FRONTIER, stats_cols=["url"])
+        # priority-clustered files: the scheduled batch is the top-priority
+        # head per host, so merge detection prunes to the head files by the
+        # batch's (host, priority) bounds even though the merge keys on url
+        self.frontier = SnapTable(
+            f"{root}/frontier",
+            FRONTIER,
+            stats_cols=["url", "host", "priority"],
+            cluster_by=["host", "priority"],
+        )
         self.packages = SnapTable(f"{root}/packages", FINAL_PACKAGE)
         self.one_time = SnapTable(f"{root}/one_time_data", ONE_TIME)
         self.not_found = SnapTable(f"{root}/not_found", FRONTIER)
@@ -852,7 +860,8 @@ class Crawl:
                 spark,
                 "url",
                 upserts=upd_rows.where(~F.col("state").isin("done", "not_found")),
-                delete_keys=terminal.select("url"),
+                # host/priority carried so stats pruning applies to deletes too
+                delete_keys=terminal.select("url", "host", "priority"),
                 meta={"generation": generation},
             )
         else:

@@ -76,10 +76,15 @@ class SnapTable:
         root: str,
         schema: T.StructType | None = None,
         stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ):
         self.root = root
         self.schema = schema
         self.stats_cols = list(stats_cols or [])
+        # range-cluster every write by these columns: each data file then
+        # covers a narrow value range, which is what makes the manifest
+        # stats (and parquet row-group stats) actually prune
+        self.cluster_by = list(cluster_by or [])
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -165,6 +170,9 @@ class SnapTable:
     ) -> tuple[list[str], dict[str, dict[str, list]]]:
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         df = self._conform(df)
+        if self.cluster_by:
+            cols = [F.col(c) for c in self.cluster_by]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         df.write.mode("errorifexists").parquet(d)
         files = sorted(
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
@@ -280,22 +288,34 @@ class SnapTable:
         """Files that may contain a row matching ``src_keys``: manifest-stats
         range pruning first (one tiny agg on the source, zero table I/O),
         then an exact key-column scan over the surviving candidates only
-        (column-pruned, no shuffle). The source key set itself is never
-        collected to the driver — only its [min, max]."""
+        (column-pruned, no shuffle). Pruning uses EVERY stats column the
+        source carries, not just the merge key — e.g. a frontier whose
+        files are priority-clustered prunes a scheduled batch (the top
+        priorities per host) down to the head files even though the merge
+        keys on url. The source itself is never collected to the driver —
+        only per-column [min, max]."""
         candidates = snap.files
-        k = keys[0]
-        if len(keys) == 1 and k in self.stats_cols:
-            b = src_keys.agg(F.min(k).alias("mn"), F.max(k).alias("mx")).first()
-            if b["mn"] is not None:
-                stats = snap.file_stats or {}
-                candidates = [
-                    f
-                    for f in snap.files
-                    if (rng := stats.get(f, {}).get(k)) is None
-                    or rng[0] is None
-                    or rng[1] is None
-                    or (rng[0] <= b["mx"] and rng[1] >= b["mn"])
-                ]
+        prune_cols = [c for c in self.stats_cols if c in src_keys.columns]
+        if prune_cols:
+            aggs = []
+            for c in prune_cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            b = src_keys.agg(*aggs).first()
+            stats = snap.file_stats or {}
+
+            def overlaps(f: str) -> bool:
+                for c in prune_cols:
+                    mn, mx = b[f"_mn_{c}"], b[f"_mx_{c}"]
+                    if mn is None or mx is None:
+                        continue
+                    rng = stats.get(f, {}).get(c)
+                    if rng is None or rng[0] is None or rng[1] is None:
+                        continue
+                    if rng[0] > mx or rng[1] < mn:
+                        return False  # disjoint on this column -> no match
+                return True
+
+            candidates = [f for f in snap.files if overlaps(f)]
         if not candidates:
             return []
         rows = (
@@ -345,13 +365,21 @@ class SnapTable:
             # affected-file detection, the kept/landing joins, and the write
             upserts = upserts.localCheckpoint(eager=False)
 
-        parts = [d.select(*keys) for d in (upserts, delete_keys) if d is not None]
-        if not parts:
+        frames = [d for d in (upserts, delete_keys) if d is not None]
+        if not frames:
             return self.current_snapshot_id() or 0
+        # carry every stats column the sources share: _affected_files prunes
+        # candidate files on all of them, not just the merge key
+        keep = keys + [
+            c
+            for c in self.stats_cols
+            if c not in keys and all(c in d.columns for d in frames)
+        ]
+        parts = [d.select(*keep) for d in frames]
         all_keys = parts[0]
         for p in parts[1:]:
             all_keys = all_keys.unionByName(p)
-        all_keys = all_keys.dropDuplicates()
+        all_keys = all_keys.dropDuplicates(keys)
 
         affected_files = self._affected_files(spark, snap, keys, all_keys)
         untouched = [f for f in snap.files if f not in set(affected_files)]

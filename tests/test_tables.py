@@ -223,6 +223,44 @@ class TestMergeCopyOnWrite:
         assert got == {1: "a", 2: "B", 4: "d"}
 
 
+class TestClusteredWrites:
+    def test_cluster_by_prunes_merge_detection(self, spark, tmp_path):
+        """A priority-clustered table merges a top-of-range batch without
+        even *reading* the low-range files (manifest-stats pruning on a
+        non-key column) — the frontier's per-generation commit shape."""
+        t = SnapTable(
+            str(tmp_path / "t"), stats_cols=["k", "p"], cluster_by=["p"]
+        )
+        old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            t.overwrite(
+                spark.createDataFrame(
+                    [(f"u{i}", float(i)) for i in range(1000)], "k string, p double"
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+        snap = t.snapshot()
+        assert len(snap.files) >= 3
+        low_files = {
+            f for f in snap.files if snap.file_stats[f]["p"][1] < 900.0
+        }
+        assert low_files
+        # merge touching only the top of the priority range
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame(
+                [("u950", 950.0), ("u999", 999.0)], "k string, p double"
+            ),
+            key="k",
+        )
+        s2 = t.snapshot()
+        assert low_files <= set(s2.files)  # untouched, carried verbatim
+        got = {r["k"]: r["p"] for r in t.read(spark).collect()}
+        assert got["u950"] == 950.0 and len(got) == 1000
+
+
 class TestFileStats:
     def test_stats_recorded_and_prune(self, spark, tmp_path):
         t = SnapTable(str(tmp_path / "t"), stats_cols=["id"])
