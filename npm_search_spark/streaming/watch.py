@@ -94,12 +94,17 @@ class Watch:
         max_files_per_trigger: int = 1,
         generations_per_batch: int = 6,
         dims_refresh_secs: float = 3600.0,
+        seen_compact_files: int = 512,
     ):
         self.crawl = crawl
         self.changes_dir = changes_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.generations_per_batch = generations_per_batch
+        # maintenance: once incremental seen-set appends accumulate this
+        # many data files, rewrite them as one (bucket, key)-clustered set
+        # so lookup pruning stays tight over a long watch run
+        self.seen_compact_files = seen_compact_files
         # hourly dim-preload refresh in long-running watch mode (reference
         # src/index.ts:66-76)
         self.dims_refresh_secs = dims_refresh_secs
@@ -148,6 +153,10 @@ class Watch:
                 m = crawl.run_generation(self._generation)
                 if m["scheduled"] == 0:
                     break
+
+        snap = crawl.seen.table.snapshot()
+        if snap and len(snap.files) > self.seen_compact_files:
+            crawl.seen.compact(spark)
 
         # store-then-advance: the seq watermark commits only after every
         # table write above has landed (T1/T2)

@@ -473,7 +473,7 @@ class SnapTable:
                 if n_partitions
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*cluster_by)
-        return self.overwrite(df, meta={**(meta or {}), "op": "compact"})
+        return self.overwrite(df, meta={"op": "compact", **(meta or {})})
 
     def rollback(self, snapshot_id: int | None) -> int | None:
         """Make ``snapshot_id`` (or the empty table when None) the visible

@@ -56,6 +56,34 @@ def test_registry_info(spark, tmp_path):
     assert registry_info(spark, changes_dir) == {"nb_docs": 2, "seq": 3}
 
 
+def test_watch_auto_compacts_seen(spark, universe, bootstrapped, tmp_path):
+    """Long-running watch maintenance: when incremental appends exceed the
+    file budget, the seen set is rewritten as one clustered file set —
+    dedup semantics unchanged."""
+    c = bootstrapped
+    n_seen = c.seen.count(spark)
+    assert len(c.seen.table.snapshot().files) > 1
+    changes_dir = str(tmp_path / "ch-compact")
+    os.makedirs(changes_dir)
+    pkg = c.packages.read(spark).select("objectID").orderBy("objectID").first()[0]
+    spark.createDataFrame([(901, pkg, False, "rev-c")], CHANGES).coalesce(1).write.mode(
+        "append"
+    ).parquet(changes_dir)
+    w = Watch(c, changes_dir, str(tmp_path / "ckpt-compact"), seen_compact_files=1)
+    w.run_available_now()
+    hist = c.seen.table.history()
+    assert any(s.meta.get("op") == "seen-compact" for s in hist)
+    assert c.seen.count(spark) >= n_seen  # rows preserved (+ the new change)
+    # post-compaction dedup still exact: the change URL is now seen
+    seq_url = f"https://registry.npmjs.org/{pkg}?_seq=901"
+    assert (
+        c.seen.filter_unseen(
+            spark, spark.createDataFrame([(seq_url,)], "url string")
+        ).count()
+        == 0
+    )
+
+
 def test_watch_applies_changes(spark, universe, bootstrapped, tmp_path):
     c = bootstrapped
     pkgs_before = c.packages.read(spark)
