@@ -374,6 +374,7 @@ class Crawl:
         transient_modulus: int = 37,
         throttle_modulus: int = 0,
         gc_terminal: bool = False,
+        seen_backend: str = "bloom",
     ):
         self.spark = spark
         self.root = root
@@ -390,7 +391,7 @@ class Crawl:
         self.packages = SnapTable(f"{root}/packages", FINAL_PACKAGE)
         self.one_time = SnapTable(f"{root}/one_time_data", ONE_TIME)
         self.not_found = SnapTable(f"{root}/not_found", FRONTIER)
-        self.seen = SeenSet(f"{root}/seen")
+        self.seen = SeenSet(f"{root}/seen", backend=seen_backend)
         self.state = StateStore(f"{root}/state")
         self.universe = universe
         self.budgets = budgets or DEFAULT_BUDGETS

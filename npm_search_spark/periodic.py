@@ -141,6 +141,15 @@ def run_periodic(crawl: Crawl, now_day_ms: int, error_modulus: int = 0) -> dict:
         crawl.packages.merge_delete(
             spark, gone, key="objectID", meta={"op": "periodic-reconcile"}
         )
+        # release the registry URLs from the seen set so a later
+        # re-publish of the same name is re-crawled (the cuckoo backend
+        # deletes from the prefilter exactly; bloom goes conservative)
+        from .frontier import registry_url
+        from .functions.urls import canonicalize_url as _canon
+
+        crawl.seen.remove(
+            spark, gone.select(_canon(registry_url(F.col("objectID"))).alias("url"))
+        )
     return metrics
 
 

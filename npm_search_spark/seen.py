@@ -1,4 +1,5 @@
-"""URL-seen set: partitioned Bloom prefilter + exact anti-join fallback.
+"""URL-seen set: partitioned Bloom/cuckoo prefilter + exact anti-join
+fallback.
 
 Re-creates the reference's dedup semantics — its queue upsert by objectID
 and isProcessed flag (src/watch.ts:134-141, src/indexers/
@@ -11,11 +12,13 @@ Design:
   key = xxhash64(canonical_url), bucket = pmod(key, 256). Rows are written
   repartitioned+sorted by (bucket, key) so parquet row-group min/max stats
   prune the exact-check scan.
-- A Bloom filter sharded by bucket is built per snapshot with mapInArrow
-  (vectorized numpy, one bitmap per bucket partition), OR-merged on the
-  driver, and broadcast. Candidates that miss the Bloom are definitively
-  unseen (no false negatives); hits go to the exact semi-join (false
-  positives resolved exactly).
+- A prefilter sharded by bucket is built per snapshot with mapInArrow
+  (vectorized numpy, one shard per bucket partition), merged on the
+  driver, and broadcast. Candidates that miss it are definitively unseen
+  (no false negatives); hits go to the exact semi-join (false positives
+  resolved exactly). Two backends, selected at construction: a Bloom
+  filter (OR-merged bitmaps, default) or a cuckoo filter
+  (cuckoo.DenseCuckoo — deletable, so `remove()` keeps it tight).
 - At 1e10 keys / 1% fp the filter is ~1.5 GiB total, i.e. ~6 MiB per
   bucket shard: on a real cluster only the shards matching the micro-batch's
   buckets need shipping; in local mode we broadcast the whole dict.
@@ -33,6 +36,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cuckoo import SLOTS as CUCKOO_SLOTS
+from .cuckoo import CuckooShards, DenseCuckoo, rows_for
 from .functions.urls import N_SEEN_BUCKETS, canonicalize_url, url_bucket, url_key
 from .tables import SnapTable
 
@@ -116,49 +121,98 @@ class SeenSet:
         expected_keys_per_bucket: int = 200_000,
         fp_rate: float = 0.01,
         n_buckets: int = N_SEEN_BUCKETS,
+        backend: str = "bloom",
     ):
+        """``backend``: the in-memory prefilter implementation.
+
+        - ``"bloom"`` (default): DenseBloom — ~9.6 bits/key at 1 % fp;
+          deletions leave it stale-conservative (extra false positives,
+          resolved by the exact check — never a false negative).
+        - ``"cuckoo"``: cuckoo.DenseCuckoo — ~19 bits/key, fp ≈ 0.012 %,
+          2-row lookups, and **exact O(1) deletion** so `remove()` keeps
+          the filter tight (package deletions, bootstrap redo).
+        """
         from pyspark.sql import types as T
 
+        if backend not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen-set backend {backend!r}")
         schema = T.StructType.fromDDL(SEEN_SCHEMA)
         # per-file bucket min/max in the manifest: the exact check prunes
         # files driver-side by the suspects' buckets before any I/O
         self.table = SnapTable(root, schema, stats_cols=["bucket"])
         self.last_prune: dict[str, int] = {}
         self.n_buckets = n_buckets
+        self.backend = backend
         self.m, self.k = _bloom_params(expected_keys_per_bucket, fp_rate)
-        self._bloom: DenseBloom | None = None
+        self.cuckoo_rows = rows_for(expected_keys_per_bucket)
+        # `_bloom` is the prefilter object regardless of backend (DenseBloom
+        # or DenseCuckoo — identical might_contain/merge_shard surface)
+        self._bloom: DenseBloom | DenseCuckoo | None = None
         self._bloom_snapshot: int | None = None
-        self._bloom_bc = None  # cached spark broadcast of the dense bloom
+        self._bloom_bc = None  # cached spark broadcast of the dense filter
 
     # -- bloom maintenance ---------------------------------------------------
 
     def _shards_of(self, df: DataFrame) -> list:
-        """Per-partition numpy bitmaps via mapInArrow -> (bucket, bits) rows."""
+        """Per-partition filter shards via mapInArrow -> (bucket, bits,
+        overflow) rows. For the bloom backend ``bits`` is the packed
+        bitmap; for cuckoo it's the subtable buffer and ``overflow`` packs
+        any (row, fingerprint) pairs whose eviction walk overran (empty
+        below the target load)."""
         df = df.select("bucket", "key")
         m, k = self.m, self.k
+        backend, cuckoo_rows = self.backend, self.cuckoo_rows
 
         def build(batches):
             import pyarrow as pa
 
-            out_schema = pa.schema([("bucket", pa.int32()), ("bits", pa.binary())])
-            local = BloomShards(m, k)
+            out_schema = pa.schema(
+                [
+                    ("bucket", pa.int32()),
+                    ("bits", pa.binary()),
+                    ("overflow", pa.binary()),
+                ]
+            )
+            local = (
+                BloomShards(m, k) if backend == "bloom" else CuckooShards(cuckoo_rows)
+            )
             for batch in batches:
                 local.add(
                     batch.column("bucket").to_numpy(zero_copy_only=False),
                     batch.column("key").to_numpy(zero_copy_only=False),
                 )
+            over: dict[int, list[tuple[int, int]]] = {}
+            for b, row, fp in getattr(local, "overflow", []):
+                over.setdefault(b, []).append((row, fp))
             for b, bm in local.shards.items():
+                ov = np.array(over.get(b, []), dtype=np.int64).tobytes()
                 yield pa.RecordBatch.from_pydict(
-                    {"bucket": [b], "bits": [bm.tobytes()]}, schema=out_schema
+                    {"bucket": [b], "bits": [bm.tobytes()], "overflow": [ov]},
+                    schema=out_schema,
                 )
 
-        return df.mapInArrow(build, schema="bucket int, bits binary").collect()
+        return df.mapInArrow(
+            build, schema="bucket int, bits binary, overflow binary"
+        ).collect()
+
+    def _new_filter(self):
+        if self.backend == "bloom":
+            return DenseBloom(self.m, self.k, self.n_buckets)
+        return DenseCuckoo(self.cuckoo_rows, self.n_buckets)
 
     def _fold_into_bloom(self, rows) -> None:
         if self._bloom is None:
-            self._bloom = DenseBloom(self.m, self.k, self.n_buckets)
+            self._bloom = self._new_filter()
         for r in rows:
-            self._bloom.merge_shard(r["bucket"], np.frombuffer(r["bits"], dtype=np.uint64))
+            if self.backend == "bloom":
+                self._bloom.merge_shard(
+                    r["bucket"], np.frombuffer(r["bits"], dtype=np.uint64)
+                )
+            else:
+                self._bloom.merge_shard(r["bucket"], r["bits"])
+                ov = np.frombuffer(r["overflow"] or b"", dtype=np.int64)
+                for row, fp in ov.reshape(-1, 2):
+                    self._bloom.reinsert_pair(r["bucket"], int(row), int(fp))
         if self._bloom_bc is not None:
             # unpersist, NOT destroy: lazy plans built before this update
             # (e.g. the fresh batch reused after seen.add) may still
@@ -172,7 +226,7 @@ class SeenSet:
         (O(batch) per micro-batch, not O(table))."""
         snap = self.table.current_snapshot_id()
         if self._bloom is None or self._bloom_snapshot != snap:
-            self._bloom = DenseBloom(self.m, self.k, self.n_buckets)
+            self._bloom = self._new_filter()
             self._bloom_bc = None
             if snap is not None:
                 self._fold_into_bloom(self._shards_of(self.table.read(spark)))
@@ -323,6 +377,40 @@ class SeenSet:
         )
         # rows unchanged -> the cached bloom is still exact for this snapshot
         if self._bloom is not None:
+            self._bloom_snapshot = sid
+        return sid
+
+    def remove(
+        self, spark: SparkSession, urls: DataFrame, url_col: str = "url"
+    ) -> int:
+        """Un-see URLs (file-granular merge-delete on the exact table).
+        Used by periodic J9 reconciliation: a deleted package's registry
+        URL is released so a later re-publish re-crawls it.
+
+        The cached prefilter is updated in place: the cuckoo backend
+        deletes exactly; the bloom backend cannot delete, so it is left
+        stale-conservative (extra false positives resolved by the exact
+        check — never a false negative). Returns the new snapshot id."""
+        keyed = (
+            self.keyed(urls.select(url_col), url_col)
+            .select("bucket", "key", F.col(url_col).alias("url"))
+            .dropDuplicates(["key"])
+        )
+        prev_snap = self.table.current_snapshot_id()
+        filter_live = self._bloom is not None and self._bloom_snapshot == prev_snap
+        rows = keyed.select("bucket", "key").collect() if filter_live else []
+        sid = self.table.merge_delete(spark, keyed.select("key"), key="key",
+                                      meta={"op": "seen-remove"})
+        if filter_live:
+            if self.backend == "cuckoo" and rows:
+                self._bloom.delete(
+                    np.array([r["bucket"] for r in rows], dtype=np.int64),
+                    np.array([r["key"] for r in rows], dtype=np.int64),
+                )
+                if self._bloom_bc is not None:
+                    self._bloom_bc.unpersist()
+                    self._bloom_bc = None
+            # bloom: superset filter stays valid (conservative)
             self._bloom_snapshot = sid
         return sid
 
