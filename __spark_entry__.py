@@ -526,6 +526,40 @@ def q_frontier_schedule(spark, sf):
     )
 
 
+def q_scope_rollup(spark, sf):
+    """Hot-scope rollup: per-source doc count, char sum and distinct-lang
+    set. The non-algebraic set aggregate runs through the explicit salted
+    two-phase (functions/skew.py — the north rule's hot-scope salting);
+    the algebraic aggregates stay on Spark's native partial hash agg."""
+    from npm_search_spark.functions.skew import salted_collect_set
+
+    d = _t(spark, sf, "documents")
+    base = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    langs = salted_collect_set(d, ["source"], "lang", n_salts=16, out="langs")
+    return base.join(langs, "source").orderBy("source")
+
+
+def q_skew_split_join(spark, sf):
+    """Hot-key split join: the hottest sources take a broadcast path (no
+    shuffle of their rows), the tail joins normally. Exact same result as
+    a plain equi-join — the oracle proves it."""
+    from npm_search_spark.functions.skew import skew_split_join
+
+    d = _t(spark, sf, "documents")
+    dim = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("src_chars"),
+        F.count("*").alias("src_docs"),
+    )
+    counts = d.groupBy("source").count().collect()
+    hot = [r["source"] for r in sorted(counts, key=lambda r: -r["count"])[:2]]
+    return skew_split_join(
+        d.select("doc_id", "source"), dim, "source", hot
+    ).select("doc_id", "source", "src_chars", "src_docs")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_ordered_scan": q_key_ordered_scan,
@@ -564,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "multimodal_decode": q_multimodal_decode,
         "frontier_schedule": q_frontier_schedule,
+        "scope_rollup": q_scope_rollup,
+        "skew_split_join": q_skew_split_join,
     }
 
 
@@ -892,6 +928,24 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5)
             WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "scope_rollup": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   list_sort(list(DISTINCT lang)) AS langs
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "skew_split_join": """
+            SELECT d.doc_id, d.source, s.src_chars, s.src_docs
+            FROM documents d
+            JOIN (SELECT source,
+                         sum(n_chars)::BIGINT AS src_chars,
+                         count(*) AS src_docs
+                  FROM documents GROUP BY source) s
+            USING (source)
         """,
     }
 
