@@ -560,6 +560,28 @@ def q_skew_split_join(spark, sf):
     ).select("doc_id", "source", "src_chars", "src_docs")
 
 
+def q_windowed_event_rollup(spark, sf):
+    """Tumbling-window aggregation over the events stream (batch-
+    equivalence form of the streaming metrics rollup: the same expression
+    runs under readStream + withWatermark in watch mode; driven in batch
+    here so DuckDB can twin it)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_ordered_scan": q_key_ordered_scan,
@@ -600,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "scope_rollup": q_scope_rollup,
         "skew_split_join": q_skew_split_join,
+        "windowed_event_rollup": q_windowed_event_rollup,
     }
 
 
@@ -946,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
                          count(*) AS src_docs
                   FROM documents GROUP BY source) s
             USING (source)
+        """,
+        "windowed_event_rollup": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS total_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
     }
 

@@ -125,7 +125,10 @@ def politeness_schedule(
     Both return the exact top-budget per host under (priority DESC,
     url ASC), independent of input partitioning — deterministic replay
     (ties broken by url)."""
-    budgets = budgets or DEFAULT_BUDGETS
+    # None -> the reference's per-host budgets; an explicit {} means "no
+    # per-host overrides, default_budget for every host" (an `or` here
+    # would silently turn {} into DEFAULT_BUDGETS)
+    budgets = DEFAULT_BUDGETS if budgets is None else budgets
 
     def host_budget(host: str) -> int:
         return budgets.get(host, default_budget) * budget_multiplier
@@ -141,6 +144,10 @@ def politeness_schedule(
 
 
 def _budget_col(budgets: dict[str, int], default_budget: int, budget_multiplier: int):
+    if not budgets:
+        # create_map() with zero entries types its value side VOID and the
+        # lookup fails analysis — an empty budget table is just the default
+        return F.lit(default_budget * budget_multiplier)
     budget_map = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
     return (
         F.coalesce(budget_map[F.col("host")], F.lit(default_budget))
@@ -394,7 +401,7 @@ class Crawl:
         self.seen = SeenSet(f"{root}/seen", backend=seen_backend)
         self.state = StateStore(f"{root}/state")
         self.universe = universe
-        self.budgets = budgets or DEFAULT_BUDGETS
+        self.budgets = DEFAULT_BUDGETS if budgets is None else budgets
         self.budget_multiplier = budget_multiplier
         self.now_day_ms = now_day_ms
         self.total_downloads = total_npm_downloads or 0

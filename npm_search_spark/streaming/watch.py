@@ -157,6 +157,11 @@ class Watch:
         snap = crawl.seen.table.snapshot()
         if snap and len(snap.files) > self.seen_compact_files:
             crawl.seen.compact(spark)
+            # compaction supersedes every pre-compaction file; expire the
+            # dead history in the same maintenance beat so seen-set bytes
+            # track the live set (keep_last covers the one-generation
+            # resume window the state log can roll back to)
+            crawl.seen.table.expire_snapshots(keep_last=4)
 
         # store-then-advance: the seq watermark commits only after every
         # table write above has landed (T1/T2)

@@ -110,11 +110,19 @@ class SnapTable:
         return Snapshot(**d)
 
     def history(self) -> list[Snapshot]:
+        """Current snapshot's ancestor chain, oldest first. Stops at the
+        expiration horizon: a parent whose manifest was removed by
+        expire_snapshots ends the walk (same as Iceberg history)."""
         out: list[Snapshot] = []
         snap = self.snapshot()
         while snap is not None:
             out.append(snap)
-            snap = self.snapshot(snap.parent_id) if snap.parent_id is not None else None
+            if snap.parent_id is None:
+                break
+            try:
+                snap = self.snapshot(snap.parent_id)
+            except FileNotFoundError:
+                break
         return list(reversed(out))
 
     def _commit(
@@ -474,6 +482,102 @@ class SnapTable:
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*cluster_by)
         return self.overwrite(df, meta={"op": "compact", **(meta or {})})
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> dict[str, int]:
+        """Expire old snapshots and physically delete the data files only
+        they reference — the maintenance op that bounds *history* growth the
+        way ``compact`` bounds file-count growth (Iceberg's
+        expire_snapshots). Without it every superseded file lives forever:
+        a frontier that rewrites head files each generation leaks O(table)
+        bytes per generation into dead history.
+
+        Retained: the current snapshot's ancestor chain, truncated to the
+        newest ``keep_last`` entries (and, when ``older_than_ms`` is set,
+        every snapshot younger than the cutoff regardless of count).
+        Everything else — expired ancestors *and* side branches abandoned
+        by rollback commits — is dropped. Time travel / rollback to an
+        expired id stops working, exactly like Iceberg; the crawl keeps
+        ``keep_last`` >= the deepest resume window it needs (the state log
+        only ever rolls back one half-applied generation, so the default
+        of 2 is safe).
+
+        Single-writer contract: call from the table owner only (a reader
+        racing an expire could lose files mid-scan). Returns counts."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return {"snapshots_expired": 0, "files_deleted": 0}
+        chain = self.history()  # oldest -> newest, current's ancestry only
+        retained = chain[-max(keep_last, 1):]
+        if older_than_ms is not None:
+            cutoff = (now_ms if now_ms is not None else int(time.time() * 1000)) - older_than_ms
+            retained = [
+                s
+                for s in chain
+                if s.timestamp_ms >= cutoff or s in retained
+            ]
+        keep_ids = {s.snapshot_id for s in retained}
+        live_files = {f for s in retained for f in s.files}
+        mdir = os.path.join(self.root, "manifests")
+        expired = 0
+        dead_files: set[str] = set()
+        for name in os.listdir(mdir):
+            if not name.endswith(".json"):
+                continue
+            sid = int(name[: -len(".json")])
+            if sid in keep_ids:
+                continue
+            snap = self.snapshot(sid)
+            dead_files.update(f for f in snap.files if f not in live_files)
+            os.remove(os.path.join(mdir, name))
+            expired += 1
+        deleted = 0
+        for f in dead_files:
+            try:
+                os.remove(f)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        # drop now-empty data dirs (each write goes to its own uuid dir)
+        ddir = os.path.join(self.root, "data")
+        for d in os.listdir(ddir):
+            full = os.path.join(ddir, d)
+            try:
+                if os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+            except OSError:
+                pass
+        return {"snapshots_expired": expired, "files_deleted": deleted}
+
+    def remove_orphans(self) -> int:
+        """Delete data files referenced by no manifest at all — debris from
+        a writer that crashed after writing files but before its manifest
+        commit (the commit point is the ``_current`` os.replace, so such
+        files are invisible but occupy storage). Single-writer contract:
+        never call concurrently with an in-flight write."""
+        mdir = os.path.join(self.root, "manifests")
+        referenced: set[str] = set()
+        for name in os.listdir(mdir):
+            if name.endswith(".json"):
+                referenced.update(self.snapshot(int(name[: -len(".json")])).files)
+        deleted = 0
+        ddir = os.path.join(self.root, "data")
+        for d in sorted(os.listdir(ddir)):
+            full = os.path.join(ddir, d)
+            if not os.path.isdir(full):
+                continue
+            for f in sorted(os.listdir(full)):
+                p = os.path.join(full, f)
+                if p not in referenced:
+                    os.remove(p)
+                    deleted += 1
+            if not os.listdir(full):
+                os.rmdir(full)
+        return deleted
 
     def rollback(self, snapshot_id: int | None) -> int | None:
         """Make ``snapshot_id`` (or the empty table when None) the visible

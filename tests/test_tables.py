@@ -285,3 +285,93 @@ class TestFileStats:
         t.merge_upsert(spark, spark.createDataFrame([(1050, "B")], "id int, v string"), key="id")
         assert low <= set(t.snapshot().files)
         assert {r["v"] for r in t.read(spark).where("id = 1050").collect()} == {"B"}
+
+
+class TestSnapshotExpiration:
+    def _ids(self, t, spark):
+        return sorted(r["id"] for r in t.read(spark).collect())
+
+    def test_expire_deletes_dead_files_keeps_live(self, spark, tmp_path):
+        import os
+
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1,)], "id int"))
+        t.overwrite(spark.createDataFrame([(2,)], "id int"))  # v1 files dead
+        s3 = t.append(spark.createDataFrame([(3,)], "id int"))
+        res = t.expire_snapshots(keep_last=2)
+        assert res["snapshots_expired"] == 1
+        assert res["files_deleted"] >= 1
+        # current data intact, time travel within keep window intact
+        assert self._ids(t, spark) == [2, 3]
+        assert t.current_snapshot_id() == s3
+        assert len(t.history()) == 2
+        # expired snapshot is gone
+        with pytest.raises(FileNotFoundError):
+            t.snapshot(1)
+
+    def test_expire_keeps_shared_files(self, spark, tmp_path):
+        """A file carried from an expired snapshot into a retained one must
+        survive (appends share parent files)."""
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1,)], "id int"))
+        t.append(spark.createDataFrame([(2,)], "id int"))
+        t.append(spark.createDataFrame([(3,)], "id int"))
+        t.expire_snapshots(keep_last=1)
+        assert self._ids(t, spark) == [1, 2, 3]
+        assert len(t.history()) == 1
+
+    def test_expire_prunes_rolled_back_generation(self, spark, tmp_path):
+        """A rollback commit re-points at the old files (its parent is the
+        abandoned snapshot). Once the abandoned snapshot ages out of the
+        keep window, its exclusive files are physically freed while the
+        files shared with the live snapshot survive."""
+        t = SnapTable(str(tmp_path / "t"))
+        s1 = t.append(spark.createDataFrame([(1,)], "id int"))
+        t.overwrite(spark.createDataFrame([(99,)], "id int"))  # half-applied gen
+        t.rollback(s1)
+        res = t.expire_snapshots(keep_last=1)
+        assert self._ids(t, spark) == [1]
+        assert res["snapshots_expired"] == 2  # s1's manifest + the overwrite
+        assert res["files_deleted"] >= 1      # the overwrite's exclusive file
+        assert self._ids(t, spark) == [1]     # shared file kept
+
+    def test_expire_older_than_retains_young(self, spark, tmp_path):
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1,)], "id int"))
+        t.append(spark.createDataFrame([(2,)], "id int"))
+        t.append(spark.createDataFrame([(3,)], "id int"))
+        now = t.snapshot().timestamp_ms + 10
+        # everything is younger than the 1-hour cutoff -> nothing expires
+        res = t.expire_snapshots(keep_last=1, older_than_ms=3_600_000, now_ms=now)
+        assert res["snapshots_expired"] == 0
+        assert len(t.history()) == 3
+
+    def test_remove_orphans(self, spark, tmp_path):
+        import os
+
+        t = SnapTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1,)], "id int"))
+        # simulate a crashed writer: files on disk, no manifest commit
+        df = spark.createDataFrame([(99,)], "id int")
+        orphan_dir = str(tmp_path / "t" / "data" / "deadbeefcrash")
+        df.coalesce(1).write.parquet(orphan_dir)
+        assert t.remove_orphans() >= 1
+        assert not os.path.exists(orphan_dir)
+        assert self._ids(t, spark) == [1]
+
+    def test_compact_then_expire_bounds_bytes(self, spark, tmp_path):
+        """The maintenance pair: compact supersedes incremental files,
+        expire physically frees them — total on-disk parquet tracks the
+        live set."""
+        import glob
+
+        t = SnapTable(str(tmp_path / "t"), stats_cols=["id"], cluster_by=["id"])
+        for i in range(6):
+            t.append(spark.createDataFrame([(i,)], "id int"))
+        n_before = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+        t.compact(spark, n_partitions=1)
+        t.expire_snapshots(keep_last=1)
+        n_after = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+        assert n_after < n_before
+        assert n_after == 1
+        assert self._ids(t, spark) == list(range(6))
