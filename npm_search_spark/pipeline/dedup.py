@@ -255,7 +255,10 @@ def minhash_lsh_dedup_pairs(
     df: DataFrame, threshold: float = 0.9, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — final near-dup pairs."""
-    grams = doc_grams(df, n, text_col)
+    # pinned: grams feed three consumers (the signature stage and both
+    # sides of the verify join) — without the checkpoint the tokenize +
+    # hash expression tree re-executes once per consumer
+    grams = doc_grams(df, n, text_col).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(df, n, text_col, grams=grams)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
