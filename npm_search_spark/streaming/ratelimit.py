@@ -1,0 +1,123 @@
+"""Streaming per-host token-bucket admission — the politeness budget as a
+custom stateful operator.
+
+The batch engine enforces politeness per generation (frontier.
+politeness_schedule: top-budget per host per trigger window). A
+long-running watch deployment wants the same budget enforced continuously
+over an unbounded request stream; that is a custom stateful operator the
+built-in windowed aggregates can't express (per-key token state carried
+across micro-batches, admit/defer decisions per row). Implemented with
+``applyInPandasWithState`` (Arrow-batched, grouped by host — the supported
+Spark shape for custom streaming state; reference budget constants:
+src/npm/index.ts:52-53, src/changelog.ts:29,39,50).
+
+Determinism: tokens accrue on **event time**, never wall clock. A bucket
+holds at most ``burst`` seconds of budget; each admitted row consumes one
+token; rows arriving when the bucket is empty are emitted with
+``admitted = false`` (the caller re-queues them — same contract as the
+batch scheduler deferring to the next generation). Within a micro-batch,
+rows are processed in (ts, url) order so replays admit the identical set.
+
+The same function drives batch DataFrames via ``applyInPandas`` (no
+cross-batch state — one batch is one bucket lifetime), which is how the
+equivalence test pins streaming output to an independent simulator.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# output schema of the admitter: input row + admission verdict
+ADMIT_SCHEMA = (
+    "host string, url string, ts timestamp, priority double, admitted boolean"
+)
+STATE_SCHEMA = "tokens double, last_event_ms long"
+
+
+def _admit_pdf(
+    pdf: pd.DataFrame,
+    rate: float,
+    burst_s: float,
+    tokens: float,
+    last_ms: int | None,
+) -> tuple[pd.DataFrame, float, int | None]:
+    """Run the token bucket over one (host-grouped, time-sorted) pandas
+    batch. Returns (verdicts, tokens_after, last_event_ms_after)."""
+    pdf = pdf.sort_values(["ts", "url"], kind="mergesort").reset_index(drop=True)
+    ev_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+    admitted = []
+    cap = rate * burst_s
+    for ms in ev_ms:
+        if last_ms is not None and ms > last_ms:
+            tokens = min(cap, tokens + (ms - last_ms) / 1000.0 * rate)
+        last_ms = ms if last_ms is None else max(last_ms, ms)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            admitted.append(True)
+        else:
+            admitted.append(False)
+    out = pdf.copy()
+    out["admitted"] = admitted
+    return out, tokens, last_ms
+
+
+def streaming_token_bucket(
+    requests: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 6,
+    burst_s: float = 1.0,
+) -> DataFrame:
+    """Admit/defer a streaming request feed per host budget.
+
+    ``requests``: streaming DataFrame (host, url, ts, priority). Grouped
+    by host; per-host GroupState carries (tokens, last_event_ms) across
+    micro-batches. Stateful, Arrow-batched, deterministic on event time.
+    """
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        host = key[0]
+        rate = float(budgets.get(host, default_budget))
+        if state.exists:
+            tokens, last_ms = state.get
+        else:
+            tokens, last_ms = rate * burst_s, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            out, tokens, last_ms = _admit_pdf(pdf, rate, burst_s, tokens, last_ms)
+            yield out[["host", "url", "ts", "priority", "admitted"]]
+        state.update((float(tokens), int(last_ms if last_ms is not None else 0)))
+
+    return requests.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=ADMIT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_token_bucket(
+    requests: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 6,
+    burst_s: float = 1.0,
+) -> DataFrame:
+    """Batch twin of :func:`streaming_token_bucket`: one batch = one bucket
+    lifetime (state starts full per host, no carry-over). Used for
+    equivalence testing and for replaying a bounded request log."""
+
+    def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        rate = float(budgets.get(pdf["host"].iloc[0], default_budget))
+        out, _, _ = _admit_pdf(pdf, rate, burst_s, rate * burst_s, None)
+        return out[["host", "url", "ts", "priority", "admitted"]]
+
+    return requests.groupBy("host").applyInPandas(admit, schema=ADMIT_SCHEMA)
