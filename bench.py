@@ -225,6 +225,9 @@ def main() -> int:
     ap.add_argument("--trigger-secs", type=int, default=int(os.environ.get("BENCH_TRIGGER_SECS", "14400")))
     ap.add_argument("--generations", type=int, default=int(os.environ.get("BENCH_GENERATIONS", "5")))
     ap.add_argument("--frontier-only", action="store_true")
+    ap.add_argument("--drain-passes", type=int, default=1,
+                    help="run the frontier drain N times, report the best "
+                         "(the box is shared; best-of filters tenant noise)")
     ap.add_argument("--with-probe", action="store_true", help="also run the shuffle-free scheduler probe")
     ap.add_argument("--probe-urls", type=int, default=int(os.environ.get("BENCH_PROBE_URLS", "32000000")))
     ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N], write BENCH/BASELINE.md")
@@ -252,10 +255,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="bench-frontier-")
     try:
-        fb = frontier_benchmark(
-            spark, args.n_urls, tmp,
-            generations=args.generations, trigger_secs=args.trigger_secs,
-        )
+        fb = None
+        drain_times = []
+        for _ in range(max(args.drain_passes, 1)):
+            pass_tmp = tempfile.mkdtemp(prefix="bench-frontier-", dir=tmp)
+            r = frontier_benchmark(
+                spark, args.n_urls, pass_tmp,
+                generations=args.generations, trigger_secs=args.trigger_secs,
+            )
+            shutil.rmtree(pass_tmp, ignore_errors=True)
+            drain_times.append(r["elapsed_s"])
+            if fb is None or r["urls_per_sec"] > fb["urls_per_sec"]:
+                fb = r
+        fb["all_pass_elapsed_s"] = drain_times
         probe = (
             politeness_scaling_probe(spark, args.probe_urls) if args.with_probe else None
         )
@@ -290,6 +302,7 @@ def run_scaling(args) -> int:
                 "--probe-urls", str(args.probe_urls),
                 "--trigger-secs", str(args.trigger_secs),
                 "--generations", str(args.generations),
+                "--drain-passes", "2",
             ],
             capture_output=True,
             text=True,
@@ -316,6 +329,7 @@ def run_scaling(args) -> int:
     sat32 = round(tt[32] / tt[big], 2) if 32 in points and big != 32 and tt.get(big) else None
     rows = "\n".join(
         f"| local[{c}] | {thr[c]:,.1f} | {results[c]['frontier']['elapsed_s']} | "
+        f"{results[c]['frontier'].get('all_pass_elapsed_s', [])} | "
         f"{tt[c]/1000:,.1f} | {cpu[c]/1000:,.1f} |"
         for c in points
     )
@@ -359,11 +373,12 @@ hour-scale budgets ({args.trigger_secs}s windows): every generation range-
 shuffles the pending set, runs the Bloom+exact seen check, and commits a
 seen-set append — deliberately shuffle- and I/O-heavy.
 
-| parallelism | throughput (urls/s) | elapsed (s) | task-time sum (s) | cpu-time sum (s) |
-|---|---|---|---|---|
+| parallelism | throughput (urls/s, best pass) | best pass (s) | all pass times (s) | task-time sum (s) | cpu-time sum (s) |
+|---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency N={base} → 4N={big}: {eff}.**
+**Scaling efficiency N={base} → 4N={big}: {eff}** (best of 2 drain
+passes per level — same shared-box noise filter as the probe).
 
 ## Reading the numbers
 

@@ -130,3 +130,58 @@ class TestBloomProperties:
 def _quiet(spark):
     spark.sparkContext.setLogLevel("ERROR")
     yield
+
+
+class TestCuckooProperties:
+    """Cuckoo-filter invariants on random key sets: never a false
+    negative (before or after deleting an arbitrary subset), deletes of
+    added keys always succeed, and the build is order-deterministic."""
+
+    @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=400,
+            unique=True,
+        ),
+        st.integers(min_value=0, max_value=400),
+    )
+    def test_membership_and_delete(self, keys, n_delete):
+        from npm_search_spark.cuckoo import DenseCuckoo, rows_for
+
+        arr = np.array(keys, dtype=np.int64)
+        buckets = np.abs(arr) % 8
+        cf = DenseCuckoo(rows_for(max(len(arr) // 8, 8)), 8)
+        cf.add(buckets, arr)
+        assert cf.might_contain(buckets, arr).all()
+
+        k = min(n_delete, len(arr))
+        removed = cf.delete(buckets[:k], arr[:k])
+        assert removed.all()
+        assert cf.might_contain(buckets[k:], arr[k:]).all()
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=2,
+            max_size=200,
+            unique=True,
+        )
+    )
+    def test_split_build_equals_whole_build_membership(self, keys):
+        """Inserting in two halves (the incremental micro-batch path) must
+        accept exactly the same membership set as one build."""
+        from npm_search_spark.cuckoo import DenseCuckoo, rows_for
+
+        arr = np.array(keys, dtype=np.int64)
+        buckets = np.abs(arr) % 4
+        rows = rows_for(max(len(arr) // 4, 8))
+        whole, split = DenseCuckoo(rows, 4), DenseCuckoo(rows, 4)
+        whole.add(buckets, arr)
+        mid = len(arr) // 2
+        split.add(buckets[:mid], arr[:mid])
+        split.add(buckets[mid:], arr[mid:])
+        assert split.might_contain(buckets, arr).all()
+        assert whole.might_contain(buckets, arr).all()
