@@ -379,6 +379,15 @@ def q_dedup_exact(spark, sf):
     return out.select("fingerprint", "n_docs", "keeper").orderBy("fingerprint")
 
 
+def q_dedup_corpus(spark, sf):
+    """Materialized deduplicated corpus (the output-producing form of
+    exact dedup): keep the min-doc_id representative per identical
+    normalized content."""
+    from npm_search_spark.pipeline.dedup import dedup_exact
+
+    return dedup_exact(_docs_with_dups(spark, sf)).select("doc_id").orderBy("doc_id")
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
     from npm_search_spark.pipeline.dedup import ngram_jaccard_pairs
@@ -608,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "watermark_max_seq": q_watermark_max_seq,
         "dedup_exact": q_dedup_exact,
+        "dedup_corpus": q_dedup_corpus,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -841,6 +851,16 @@ def oracle_sql() -> dict[str, str]:
             FROM {_DOCS_DUPS_SQL}
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY fingerprint
+        """,
+        "dedup_corpus": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY md5({_NORM_SQL})
+                       ORDER BY doc_id) AS rn
+              FROM {_DOCS_DUPS_SQL}
+            ) WHERE rn = 1
+            ORDER BY doc_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH g AS (SELECT * FROM {_GRAMS_SQL})
