@@ -165,6 +165,45 @@ def ivf_centroids(
     return [list(map(float, r[vec_col])) for r in rows]
 
 
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-refined coarse quantizer: start from the deterministic hash
+    seed (ivf_centroids) and run ``iters`` distributed k-means steps —
+    assign each vector to its nearest centroid with the JVM-side argmin,
+    recompute centroids as per-cell means via posexplode + hash agg.
+
+    Scale shape per iteration: one corpus scan (narrow — centroid argmin
+    is a codegen'd expression over broadcast-literal centroids), one
+    shuffle keyed by (cell, dim) with map-side partial aggregation, and
+    k x dim result rows to the driver. No per-row Python, no RNG (fully
+    deterministic), empty cells keep their previous centroid (the
+    standard degenerate-cell rule)."""
+    cents = ivf_centroids(corpus, k, id_col, vec_col)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        # two selects: a generator (posexplode) in the same projection as
+        # the argmin struct expression makes the analyzer re-plan the
+        # struct through Generate and drop its field aliases
+        assigned = corpus.select(
+            ivf_cell(F.col(vec_col), cents).alias("_cell"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).select("_cell", F.posexplode("_v").alias("_dim", "_val"))
+        rows = assigned.groupBy("_cell", "_dim").agg(F.avg("_val").alias("_m")).collect()
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["_cell"], {})[r["_dim"]] = r["_m"]
+        cents = [
+            [means[i][d] for d in range(dim)] if i in means else c
+            for i, c in enumerate(cents)
+        ]
+    return cents
+
+
 def _sq_l2(vec_col, lit_vec: list[float]):
     lit_arr = F.array(*[F.lit(float(x)) for x in lit_vec])
     return F.aggregate(

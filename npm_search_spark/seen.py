@@ -398,7 +398,13 @@ class SeenSet:
         )
         prev_snap = self.table.current_snapshot_id()
         filter_live = self._bloom is not None and self._bloom_snapshot == prev_snap
-        rows = keyed.select("bucket", "key").collect() if filter_live else []
+        # O(batch) driver collect, cuckoo only (bloom can't delete anyway);
+        # remove() batches are reconcile-sized, not crawl-sized
+        rows = (
+            keyed.select("bucket", "key").collect()
+            if filter_live and self.backend == "cuckoo"
+            else []
+        )
         sid = self.table.merge_delete(spark, keyed.select("key"), key="key",
                                       meta={"op": "seen-remove"})
         if filter_live:

@@ -221,3 +221,80 @@ class TestIVF:
         # per-query result counts bounded by k
         per_q = approx_df.groupBy("query_id").count().collect()
         assert all(r["count"] <= 5 for r in per_q)
+
+
+class TestKMeansCentroids:
+    """Lloyd refinement of the IVF coarse quantizer (deterministic,
+    distributed assign + per-(cell,dim) mean)."""
+
+    def _fixture(self, spark):
+        import hashlib
+
+        def h(*xs):
+            b = hashlib.md5(("|".join(map(str, xs))).encode()).digest()
+            return int.from_bytes(b[:8], "big") / 2**63 - 1.0
+
+        dim, n_clusters = 16, 15
+        rows = []
+        for i in range(300):
+            c = i % n_clusters
+            vec = [h("c", c, d) + 0.02 * h("n", i, d) for d in range(dim)]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_refinement_reduces_quantization_error(self, spark):
+        from pyspark.sql import functions as F
+
+        from npm_search_spark.pipeline.similarity import (
+            _sq_l2,
+            ivf_cell,
+            ivf_centroids,
+            ivf_centroids_kmeans,
+        )
+
+        e = self._fixture(spark)
+
+        def sse(cents):
+            entries = F.array(
+                *[
+                    F.struct(
+                        _sq_l2(F.col("embedding").cast("array<double>"), c).alias("d"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+            return e.select(F.array_min(entries)["d"].alias("d")).agg(
+                F.sum("d")
+            ).first()[0]
+
+        seed = ivf_centroids(e, k=15)
+        refined = ivf_centroids_kmeans(e, k=15, iters=3)
+        assert sse(refined) < sse(seed) * 0.8  # Lloyd must shrink SSE
+
+    def test_refined_cells_keep_recall_gate(self, spark):
+        from pyspark.sql import functions as F
+
+        from npm_search_spark.pipeline.similarity import (
+            cosine_topk,
+            ivf_ann_topk,
+            ivf_centroids_kmeans,
+        )
+
+        e = self._fixture(spark)
+        q = e.where(F.col("vec_id") < 10)
+        cents = ivf_centroids_kmeans(e, k=16, iters=2)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann_topk(e, q, cents, k=5, nprobe=4).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.9
+
+    def test_deterministic(self, spark):
+        from npm_search_spark.pipeline.similarity import ivf_centroids_kmeans
+
+        e = self._fixture(spark)
+        a = ivf_centroids_kmeans(e, k=8, iters=2)
+        b = ivf_centroids_kmeans(e, k=8, iters=2)
+        assert a == b
