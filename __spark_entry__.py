@@ -482,6 +482,75 @@ def q_ann_ivf_topk(spark, sf):
     return ivf_ann_topk(e, q, cents, k=10, nprobe=4)
 
 
+def _planted_ann_universe(spark, sf):
+    """Embeddings ∪ 10 deterministically-jittered copies of each query
+    vector (multiplicative per-dim jitter, sign-preserving): the copies are
+    each query's TRUE top-10 (cos ≈ 0.999 vs ≤ ~0.5 for random pairs), so
+    ANN recall against brute force is well-defined — on uniform random
+    embeddings alone there are no true near neighbors to recover."""
+    from npm_search_spark.pipeline.similarity import hyperplane
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 5)
+    corpus = e
+    for j in range(1, 11):
+        noise = hyperplane(1000 + j, dim)
+        corpus = corpus.unionByName(
+            q.select(
+                (F.col("vec_id") + 1_000_000 * j).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    noise,
+                    lambda x, y: (x * (1.0 + 0.05 * y)).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+    return corpus, q, dim
+
+
+def _recall_row(spark, method: str, exact, approx):
+    pairs = ["query_id", "neighbor_id"]
+    marked = exact.select(*pairs).join(
+        approx.select(*pairs).withColumn("_h", F.lit(1)), pairs, "left"
+    )
+    return marked.agg(
+        (F.sum(F.coalesce(F.col("_h"), F.lit(0))) / F.count("*")).alias("_r")
+    ).select(
+        F.lit(method).alias("method"), (F.col("_r") >= 0.9).alias("recall_ok")
+    )
+
+
+def q_ann_lsh_recall(spark, sf):
+    """Self-certifying LSH ANN: runs the multiprobe LSH top-k AND the
+    exact brute-force top-k over the planted-neighbor universe, returns
+    recall@10 >= 0.9 as a single row the driver gate can oracle-check
+    (the raw topk output itself has no SQL twin — hyperplane signatures
+    are engine-specific)."""
+    from npm_search_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+
+    corpus, q, dim = _planted_ann_universe(spark, sf)
+    exact = cosine_topk(corpus, q, k=10)
+    approx = lsh_ann_topk(corpus, q, dim=dim, k=10, n_planes=6, probe_radius=1)
+    return _recall_row(spark, "lsh", exact, approx)
+
+
+def q_ann_ivf_recall(spark, sf):
+    """Self-certifying IVF ANN: recall@10 of the nprobe cell search vs
+    brute force over the planted-neighbor universe (see q_ann_lsh_recall)."""
+    from npm_search_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_centroids,
+    )
+
+    corpus, q, dim = _planted_ann_universe(spark, sf)
+    exact = cosine_topk(corpus, q, k=10)
+    cents = ivf_centroids(corpus, k=16)
+    approx = ivf_ann_topk(corpus, q, cents, k=10, nprobe=4)
+    return _recall_row(spark, "ivf", exact, approx)
+
+
 def q_embedding_dup_pairs(spark, sf):
     """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only). Random
     embeddings have no high-cosine pairs, so exact copies of every 20th
@@ -548,7 +617,18 @@ def q_scope_rollup(spark, sf):
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
     langs = salted_collect_set(d, ["source"], "lang", n_salts=16, out="langs")
-    return base.join(langs, "source").orderBy("source")
+    # The salted set is already array_sort-ed (skew.py); join it into a
+    # scalar so the driver's pandas canonicalizer can hash the row.
+    return (
+        base.join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.array_join("langs", ",").alias("langs"),
+        )
+        .orderBy("source")
+    )
 
 
 def q_skew_split_join(spark, sf):
@@ -625,8 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "multimodal_decode": q_multimodal_decode,
         "frontier_schedule": q_frontier_schedule,
@@ -959,6 +1039,11 @@ def oracle_sql() -> dict[str, str]:
                                                y.embedding::DOUBLE[]), 6) >= 0.9
             ORDER BY a, b
         """,
+        # the ANN indexes certify themselves: the query computes recall@10
+        # vs in-engine brute force and returns the pass/fail row; the twin
+        # is the constant the gate asserts
+        "ann_lsh_recall": "SELECT 'lsh' AS method, true AS recall_ok",
+        "ann_ivf_recall": "SELECT 'ivf' AS method, true AS recall_ok",
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -976,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(*) AS n_docs,
                    sum(n_chars)::BIGINT AS total_chars,
-                   list_sort(list(DISTINCT lang)) AS langs
+                   array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
             FROM documents
             GROUP BY source
             ORDER BY source

@@ -50,7 +50,7 @@ from .enrich import enrich_packages, rank_jsdelivr_hits
 from .format_pkg import format_packages_df
 from .functions import spans as SP
 from .functions.urls import canonicalize_url, url_host
-from .schema import FINAL_PACKAGE, FRONTIER, ONE_TIME
+from .schema import FINAL_PACKAGE, FRONTIER, ONE_TIME, QUARANTINE
 from .seen import SeenSet
 from .sources.synthetic import FILE_OPTIONS
 from .state import CrawlState, StateStore
@@ -109,7 +109,17 @@ def politeness_schedule(
       O(partitions x budget) survivors, then a broadcast join of the
       winner URLs back to the full rows. The 10^10-row frontier is scanned,
       never shuffled, never materialized.
-    - ``range`` (huge budgets, e.g. hour-long trigger windows):
+    - ``histogram`` (huge budgets, e.g. hour-long trigger windows — the
+      auto default for that regime): a threshold top-k. Two tiny
+      agg-collect scans (per-host count/min/max, then a per-host priority
+      histogram) let the driver compute, per host, the exact priority bin
+      where the budget boundary falls. Winners are then a narrow FILTER
+      of pending (bin above threshold) plus an exact window over the one
+      boundary bin (~count/n_bins rows) — the 10^10-row pending set is
+      scanned but NEVER shuffled. Degenerate priority distributions
+      (boundary bin too big, e.g. massively duplicated priorities) fall
+      back to ``range`` on the boundary subset only.
+    - ``range`` (explicit fallback for huge budgets):
       1. repartitionByRange on (host, priority DESC, url) — a parallel
          global sort; each host occupies a contiguous partition run
          (spreading hot hosts across the cluster — the explicit skew
@@ -135,9 +145,13 @@ def politeness_schedule(
 
     max_budget = max([default_budget, *budgets.values()]) * budget_multiplier
     if strategy == "auto":
-        strategy = "partial" if max_budget <= SMALL_BUDGET_MAX else "range"
+        strategy = "partial" if max_budget <= SMALL_BUDGET_MAX else "histogram"
     if strategy == "partial":
         return _schedule_partial_topk(pending, budgets, default_budget, budget_multiplier)
+    if strategy == "histogram":
+        return _schedule_histogram_topk(
+            pending, budgets, default_budget, budget_multiplier, n_partitions, host_budget
+        )
     return _schedule_range_topk(
         pending, budgets, default_budget, budget_multiplier, n_partitions, host_budget
     )
@@ -199,6 +213,138 @@ def _schedule_partial_topk(
         .select("url")
     )
     return pending.join(F.broadcast(winners), "url", "inner")
+
+
+# a boundary bin larger than this per host falls back to the range
+# strategy for that bin (window funnel guard — one task sorts the bin)
+HIST_BOUNDARY_CAP = 262_144
+
+
+def _schedule_histogram_topk(
+    pending: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    budget_multiplier: int,
+    n_partitions: int | None,
+    host_budget,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Exact threshold top-k without shuffling pending.
+
+    Job 1 collects per-host (count, min, max) of priority — O(hosts) rows.
+    Job 2 collects a per-host histogram over ``n_bins`` uniform priority
+    bins — O(hosts x n_bins) rows. The driver walks each histogram from the
+    top to find the boundary bin B: every row in a bin above B is a definite
+    winner; the remaining (budget - definite) winners are the exact top of
+    bin B under (priority DESC, url ASC). The returned plan is a narrow
+    filter (definite) unioned with a tiny window over bin B — the pending
+    set is scanned, never shuffled or materialized. Bin membership is
+    decided by the same expression in both the histogram job and the final
+    plan, so float edge cases cannot misclassify a row across the two.
+    """
+    stats = pending.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.min("priority").alias("mn"),
+        F.max("priority").alias("mx"),
+    ).collect()
+    if not stats:
+        return pending.limit(0)
+    take_all = [r["host"] for r in stats if r["n"] <= host_budget(r["host"])]
+    need = [r for r in stats if r["n"] > host_budget(r["host"])]
+    if not need:
+        return pending
+
+    # per-host uniform bin expression (shared by the histogram job and the
+    # final plan). NULL priorities sort last under DESC in every strategy;
+    # coalescing to the host minimum puts them in bin 0 where the boundary
+    # window's (priority DESC NULLS LAST, url) order handles them exactly.
+    mn_map = F.create_map(*[F.lit(x) for r in need for x in (r["host"], float(r["mn"]))])
+    width_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in need
+            for x in (r["host"], max((float(r["mx"]) - float(r["mn"])) / n_bins, 1e-12))
+        ]
+    )
+    h = F.col("host")
+    bin_expr = F.least(
+        F.floor(
+            (F.coalesce(F.col("priority"), mn_map[h]) - mn_map[h]) / width_map[h]
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+
+    need_hosts = [r["host"] for r in need]
+    hist = (
+        pending.where(h.isin(need_hosts))
+        .groupBy("host", bin_expr.alias("_bin"))
+        .count()
+        .collect()
+    )
+    by_host: dict[str, dict[int, int]] = {}
+    for r in hist:
+        by_host.setdefault(r["host"], {})[r["_bin"]] = r["count"]
+    thr_bin: dict[str, int] = {}
+    remaining: dict[str, int] = {}
+    boundary_n: dict[str, int] = {}
+    for r in need:
+        hh = r["host"]
+        b = host_budget(hh)
+        cum = 0
+        bins_desc = sorted(by_host[hh], reverse=True)
+        B = bins_desc[-1]
+        for bn in bins_desc:
+            c = by_host[hh][bn]
+            if cum + c >= b:
+                B = bn
+                break
+            cum += c
+        thr_bin[hh] = B
+        remaining[hh] = b - cum
+        boundary_n[hh] = by_host[hh][B]
+
+    thr_map = F.create_map(*[F.lit(x) for hh, B in thr_bin.items() for x in (hh, B)])
+    definite = pending.where(
+        h.isin(take_all) if take_all else F.lit(False)
+    ).unionByName(pending.where(h.isin(need_hosts) & (bin_expr > thr_map[h])))
+
+    # the boundary bins: exact top-(remaining) per host. Tiny by
+    # construction (~count/n_bins rows per host); hosts whose boundary bin
+    # degenerated (massively duplicated priorities) go through the
+    # range strategy instead of a single-task window.
+    small_hosts = [hh for hh in need_hosts if boundary_n[hh] <= HIST_BOUNDARY_CAP]
+    big_hosts = [hh for hh in need_hosts if boundary_n[hh] > HIST_BOUNDARY_CAP]
+    parts = [definite]
+    if small_hosts:
+        bdry = pending.where(h.isin(small_hosts) & (bin_expr == thr_map[h]))
+        w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+        rem_map = F.create_map(
+            *[F.lit(x) for hh in small_hosts for x in (hh, remaining[hh])]
+        )
+        parts.append(
+            bdry.withColumn("_hrank", F.row_number().over(w))
+            .where(F.col("_hrank") <= rem_map[h])
+            .drop("_hrank")
+        )
+    if big_hosts:
+        bdry_big = pending.where(h.isin(big_hosts) & (bin_expr == thr_map[h]))
+        parts.append(
+            _schedule_range_topk(
+                bdry_big,
+                {hh: remaining[hh] for hh in big_hosts},
+                0,
+                1,
+                n_partitions,
+                lambda hh: remaining.get(hh, 0),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # materialize the O(budget) winner set: every downstream consumer
+    # (count, dedup, seen-add, state updates) reads the winners, not a
+    # re-execution of the pending scan + boundary window
+    return out.localCheckpoint(eager=True)
 
 
 def _schedule_range_topk(
@@ -294,6 +440,43 @@ def apply_robots(df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame
     return allowed, blocked
 
 
+def filter_new_urls(
+    table: SnapTable,
+    spark: SparkSession,
+    additions: DataFrame,
+    hosts: list[str] | None = None,
+) -> DataFrame:
+    """``additions`` minus rows whose url already exists in ``table`` —
+    the enqueue-dedup check, key-pruned like the seen set's exact check.
+
+    The naive form (additions LEFT ANTI table.urls) shuffles the whole
+    frontier every enqueue — O(10^10) at scale. Here the big side is
+    (1) file-pruned driver-side via manifest host stats (``hosts`` is the
+    static host set of the hop kind being enqueued, so no extra driver
+    action on the additions plan), then (2) STREAMED against the broadcast
+    additions in a left-semi probe; the surviving dup urls (micro-batch-
+    bounded) broadcast back into a left-anti on additions. The table is
+    never shuffled, and with gc_terminal it is the active set besides."""
+    snap = table.snapshot()
+    if snap is None or not snap.files:
+        return additions
+    files = (
+        table.files_matching("host", sorted(hosts)) if hosts else snap.files
+    )
+    if not files:
+        return additions
+    existing = spark.read.parquet(*files)
+    if hosts:
+        existing = existing.where(F.col("host").isin(list(hosts)))
+    # no dedup on the broadcast side: duplicate urls in a semi-join's
+    # build side cannot duplicate output rows, and the dedup would cost
+    # an Exchange of the additions
+    dup = existing.select("url").join(
+        F.broadcast(additions.select("url")), "url", "left_semi"
+    )
+    return additions.join(F.broadcast(dup), "url", "left_anti")
+
+
 def registry_url(name_col) -> "F.Column":
     return F.concat(F.lit("https://registry.npmjs.org/"), name_col)
 
@@ -380,9 +563,17 @@ class Crawl:
         backoff_scale: float = 1.0,
         transient_modulus: int = 37,
         throttle_modulus: int = 0,
-        gc_terminal: bool = False,
+        gc_terminal: bool = True,
         seen_backend: str = "bloom",
     ):
+        """``gc_terminal`` (default True): GC successfully-processed rows
+        out of the frontier in the same MERGE pass, so frontier bytes track
+        the ACTIVE set and the per-generation pending scan never reads
+        terminal rows — at 10^10 URLs an un-GC'd frontier's pending filter
+        is O(everything ever crawled). False keeps terminal rows as
+        tombstones (full per-URL state audit trail in one table; the seen
+        set and not_found sink carry the same information either way —
+        TestFrontierGC proves result equivalence of the two modes)."""
         self.spark = spark
         self.root = root
         self.gc_terminal = gc_terminal
@@ -397,7 +588,7 @@ class Crawl:
         )
         self.packages = SnapTable(f"{root}/packages", FINAL_PACKAGE)
         self.one_time = SnapTable(f"{root}/one_time_data", ONE_TIME)
-        self.not_found = SnapTable(f"{root}/not_found", FRONTIER)
+        self.not_found = SnapTable(f"{root}/not_found", QUARANTINE)
         self.seen = SeenSet(f"{root}/seen", backend=seen_backend)
         self.state = StateStore(f"{root}/state")
         self.universe = universe
@@ -564,11 +755,13 @@ class Crawl:
             flagged = flag_robots(sched_raw, robots).cache()
         else:
             flagged = sched_raw.withColumn("_blocked", F.lit(False)).cache()
-        cnt = {r["_blocked"]: r["count"] for r in flagged.groupBy("_blocked").count().collect()}
-        n_scheduled = sum(cnt.values())
-        metrics["scheduled"] = n_scheduled
-        metrics["robots_blocked"] = cnt.get(True, 0)
-        if n_scheduled == 0:
+        if flagged.isEmpty():
+            # drained (or everything is backing off): limit-1 short-circuit
+            # instead of paying the full dedup/fetch/metrics plan — the
+            # backoff-wait loop in run_bootstrap probes with empty
+            # generations until the earliest next_attempt_at matures
+            metrics["scheduled"] = 0
+            metrics["robots_blocked"] = 0
             flagged.unpersist()
             return metrics
         scheduled = flagged.drop("_blocked")
@@ -577,19 +770,14 @@ class Crawl:
             flagged.where(F.col("_blocked")).drop("_blocked") if robots is not None else None
         )
 
-        # URL-seen dedup (J8): drop anything already crawled; one per-kind
-        # aggregation yields the dedup metric and all three hop sizes
+        # URL-seen dedup (J8): drop anything already crawled
         fresh = self.seen.filter_unseen(spark, eligible).cache()
-        kc = {r["kind"]: r["count"] for r in fresh.groupBy("kind").count().collect()}
-        metrics["deduped"] = n_scheduled - metrics["robots_blocked"] - sum(kc.values())
 
         reg = fresh.where(F.col("kind") == "registry_doc")
         fl = fresh.where(F.col("kind") == "file_list")
         probe = fresh.where(F.col("kind") == "changelog_probe")
 
-        new_rows, done_urls, retry_urls, notfound_urls = [], [fresh.select("url")], [], []
-
-        # ---- registry_doc hop ------------------------------------------------
+        # ---- registry_doc fetch ------------------------------------------------
         # synthetic transient error: first attempt on ~1/modulus of URLs
         # fails, the retry succeeds — exercises backoff + requeue (T5);
         # modulus <= 1 disables failures entirely
@@ -622,27 +810,70 @@ class Crawl:
             .cache()
         )
         failed = reg_fetched.where(F.col("_status") == "retry").drop("_status")
-        retry_urls.append(failed.select("url"))
+        retry_urls: list[DataFrame] = [failed.select("url")]
         throttled = reg_fetched.where(F.col("_status") == "throttled").drop("_status")
         throttled_urls = [throttled.select("url")]
+        notfound_urls: list[DataFrame] = []
         nf = reg_fetched.where(F.col("_status") == "not_found").drop("_status")
         notfound_urls.append(nf.select("url"))
         ok = reg_fetched.where(F.col("_status") == "ok").drop("_status")
+        new_rows, done_urls = [], [fresh.select("url")]
+        hop_hosts: set[str] = set()  # static host set of enqueued hop kinds
 
-        if kc.get("registry_doc", 0):
-            srows = reg_fetched.groupBy("_status", "host").count().collect()
-        else:
-            srows = []
-        sc: dict[str, int] = {}
-        for r in srows:
-            sc[r["_status"]] = sc.get(r["_status"], 0) + r["count"]
-        # pause every host that saw a 429 this generation (reference pauses
-        # the host queue 1 min, src/npm/index.ts:213-227)
-        for r in srows:
-            if r["_status"] == "throttled":
-                self.host_pauses[r["host"]] = (
-                    time.time() + HOST_PAUSE_S * self.backoff_scale
+        # ---- fused per-generation metrics pass ---------------------------------
+        # ONE driver action materializes all three cached frames (flagged,
+        # fresh, reg_fetched) and yields every count the generation needs:
+        # scheduled/robots (leg 'sched'), per-kind hop sizes (leg 'fresh'),
+        # per-(status, host) fetch outcomes (leg 'reg'). Per-generation
+        # driver actions are the serial fraction that caps N->4N scaling —
+        # this pass replaces what used to be three separate count jobs.
+        _null = F.lit(None).cast("string")
+        legs = (
+            flagged.select(
+                F.lit("sched").alias("_leg"),
+                F.col("_blocked").cast("string").alias("_k1"),
+                _null.alias("_k2"),
+            )
+            .unionByName(
+                fresh.where(F.col("kind") != "registry_doc").select(
+                    F.lit("fresh").alias("_leg"),
+                    F.col("kind").alias("_k1"),
+                    _null.alias("_k2"),
                 )
+            )
+            .unionByName(
+                reg_fetched.select(
+                    F.lit("reg").alias("_leg"),
+                    F.col("_status").alias("_k1"),
+                    F.col("host").alias("_k2"),
+                )
+            )
+        )
+        cnt: dict[bool, int] = {}
+        kc: dict[str, int] = {}
+        sc: dict[str, int] = {}
+        for r in legs.groupBy("_leg", "_k1", "_k2").count().collect():
+            if r["_leg"] == "sched":
+                cnt[r["_k1"] == "true"] = cnt.get(r["_k1"] == "true", 0) + r["count"]
+            elif r["_leg"] == "fresh":
+                kc[r["_k1"]] = kc.get(r["_k1"], 0) + r["count"]
+            else:
+                sc[r["_k1"]] = sc.get(r["_k1"], 0) + r["count"]
+                kc["registry_doc"] = kc.get("registry_doc", 0) + r["count"]
+                # pause every host that saw a 429 this generation (reference
+                # pauses the host queue 1 min, src/npm/index.ts:213-227)
+                if r["_k1"] == "throttled":
+                    self.host_pauses[r["_k2"]] = (
+                        time.time() + HOST_PAUSE_S * self.backoff_scale
+                    )
+        n_scheduled = sum(cnt.values())
+        metrics["scheduled"] = n_scheduled
+        metrics["robots_blocked"] = cnt.get(True, 0)
+        if n_scheduled == 0:
+            for df in (flagged, fresh, reg_fetched):
+                df.unpersist()
+            return metrics
+        metrics["deduped"] = n_scheduled - metrics["robots_blocked"] - sum(kc.values())
         n_ok = sc.get("ok", 0)
         metrics["registry_ok"] = n_ok
         metrics["registry_retry"] = sc.get("retry", 0)
@@ -678,6 +909,7 @@ class Crawl:
                 F.col("downloadsLast30Days").cast("double").alias("priority"),
             )
             new_rows.append(hop2)
+            hop_hosts.add("cdn.jsdelivr.net")
 
         # ---- file_list hop ----------------------------------------------------
         n_fl = kc.get("file_list", 0)
@@ -732,6 +964,9 @@ class Crawl:
                 (F.lit(1000.0) - F.col("rank")).alias("priority"),
             )
             new_rows.append(cands)
+            hop_hosts.update(
+                ("raw.githubusercontent.com", "gitlab.com", "bitbucket.org")
+            )
 
         # ---- changelog_probe hop -------------------------------------------------
         n_probe = kc.get("changelog_probe", 0)
@@ -891,16 +1126,24 @@ class Crawl:
                         F.lit(generation).alias("generation"),
                     ),
                 )
-                # a URL already present in the frontier must not be re-queued
-                .join(fr.select("url"), "url", "left_anti")
                 .dropDuplicates(["url"])
+            )
+            # a URL already present in the frontier must not be re-queued:
+            # stats-pruned, broadcast-probed check — never a shuffle of the
+            # frontier (see filter_new_urls)
+            additions = filter_new_urls(
+                self.frontier, spark, additions, sorted(hop_hosts)
             )
             self.frontier.append(
                 additions.select(*[f.name for f in FRONTIER.fields]),
                 meta={"generation": generation},
             )
         if notfound_urls:
-            nf_rows = fresh.join(union_all(notfound_urls), "url", "left_semi")
+            # moved_by: which job/generation quarantined the row (reference
+            # tags moved records `movedBy`, src/algolia/index.ts:64-93)
+            nf_rows = fresh.join(union_all(notfound_urls), "url", "left_semi").withColumn(
+                "moved_by", F.lit(f"bootstrap:gen-{generation}")
+            )
             self.not_found.append(nf_rows, meta={"generation": generation})
 
         metrics["elapsed_s"] = round(time.time() - t0, 3)

@@ -107,7 +107,10 @@ def skew_split_join(
     ``hot_keys`` is expected to be tiny (the structurally hot scopes /
     hosts); the broadcast side is right's hot-key slice, which must fit
     in executor memory (same contract as any broadcast dim)."""
-    is_hot = F.col(key).isin(hot_keys)
+    # NULL keys route to the cold branch (isin is NULL for NULL keys, which
+    # would silently drop them from BOTH branches — wrong for outer joins,
+    # where a NULL-key left row must survive with NULL right columns)
+    is_hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
     cold = left.where(~is_hot).join(right.where(~is_hot), key, how)
     hot = left.where(is_hot).join(F.broadcast(right.where(is_hot)), key, how)
     return cold.unionByName(hot)

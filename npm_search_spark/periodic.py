@@ -187,11 +187,18 @@ def run_one_time(crawl: Crawl, now_ms: int, max_generations: int = 4) -> dict:
             F.lit(-2).alias("generation"),
         ).alias("lineage"),
     )
-    existing_urls = crawl.frontier.read(spark).select("url")
+    from .frontier import filter_new_urls
+
+    # enqueue-dedup: stats-pruned + broadcast-probed, never a shuffle of
+    # the frontier (changelog candidates live on the three git hosts)
+    fresh_cands = filter_new_urls(
+        crawl.frontier,
+        spark,
+        cands.dropDuplicates(["url"]),
+        ["raw.githubusercontent.com", "gitlab.com", "bitbucket.org"],
+    )
     crawl.frontier.append(
-        cands.join(existing_urls, "url", "left_anti")
-        .dropDuplicates(["url"])
-        .select(*[f.name for f in FRONTIER.fields]),
+        fresh_cands.select(*[f.name for f in FRONTIER.fields]),
         meta={"op": "one-time-enqueue"},
     )
     gen = 0

@@ -146,17 +146,146 @@ def doc_grams(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, grams) materialized once — both the signature stage and the
     exact-Jaccard verification consume it.
 
-    The gram expression is the CPU-heaviest narrow stage in the pipeline;
-    if the input arrives in fewer partitions than the cluster has cores
+    One Arrow pass replaces the Catalyst higher-order-function expression
+    (transform/filter/slice are interpreted, not codegen'd — they were the
+    single hottest stage of the whole battery): tokenization is C++
+    (pyarrow utf8_lower + regex split — same semantics as normalize_text +
+    split), each DISTINCT token is hashed once per task (blake2b-8,
+    memoized across batches), and shingle hashes + per-doc dedup are
+    vectorized numpy (splitmix-style mixing, lexsort adjacent-dedup).
+    Gram hashes are deterministic functions of token strings, so Jaccard
+    over hash sets still equals Jaccard over the DuckDB oracle's string
+    grams modulo 64-bit collisions.
+
+    If the input arrives in fewer partitions than the cluster has cores
     (small files), fan it out first so the whole cluster shingles — at real
     scale the input already has more partitions than cores and this is a
     no-op."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    return df.select(
-        F.col("doc_id"), word_ngram_hashes(F.col(text_col), n).alias("grams")
-    ).localCheckpoint(eager=False)
+    id_type = df.schema["doc_id"].dataType.simpleString()
+
+    def grams_of(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from hashlib import blake2b
+
+        P1 = np.uint64(0x9E3779B97F4A7C15)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+        def mix(x):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        vocab: dict[str, int] = {}  # token -> u64 hash, memoized per task
+
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_col)), pattern=r"\s+"
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            # .values, not .flatten(): offsets index the raw values buffer,
+            # and flatten() drops null lists' slots out of alignment
+            flat = toks.values
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # hash each distinct token once; gather back over the flat array
+            dic = flat.dictionary_encode()
+            uniq = dic.dictionary.to_pylist()
+            uh = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b((t or "").encode(), digest_size=8).digest(), "little"
+                    )
+                    if (h := vocab.get(t or "")) is None
+                    else h
+                    for t in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            for t, h in zip(uniq, uh):
+                vocab[t or ""] = int(h)
+            idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            h_flat = uh[idx] if len(idx) else np.empty(0, dtype=np.uint64)
+            # drop empty tokens (split artifacts of leading/trailing space)
+            nonempty = np.array(
+                pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            ) if len(idx) else np.empty(0, dtype=bool)
+            h_flat = h_flat[nonempty]
+            raw_lens = np.diff(offs)
+            t_counts = (
+                # reduceat quirks: an index == len(a) raises, and an empty
+                # segment returns a[i] instead of 0 — clip then zero out
+                np.add.reduceat(
+                    nonempty, np.minimum(offs[:-1], len(nonempty) - 1), dtype=np.int64
+                )
+                if len(nonempty)
+                else np.zeros(nb, dtype=np.int64)
+            )
+            t_counts = np.where(raw_lens > 0, t_counts, 0)
+            starts = np.concatenate(([0], np.cumsum(t_counts)[:-1]))
+
+            # full shingle windows over the compacted hash stream
+            total = len(h_flat)
+            if total >= n:
+                g = h_flat[: total - n + 1] * P1
+                for j in range(1, n):
+                    g = mix(g ^ h_flat[j : total - n + 1 + j] * P2)
+            else:
+                g = np.empty(0, dtype=np.uint64)
+            # a window is valid if it lies inside one doc with T >= n
+            tok_doc = np.repeat(np.arange(nb, dtype=np.int64), t_counts)
+            tok_pos = np.arange(total, dtype=np.int64) - starts[tok_doc] if total else np.empty(0, dtype=np.int64)
+            out_grams: list[np.ndarray] = []
+            if total >= n:
+                wdoc = tok_doc[: total - n + 1]
+                wvalid = tok_pos[: total - n + 1] <= (t_counts[wdoc] - n)
+                vg, vd = g[wvalid], wdoc[wvalid]
+                order = np.lexsort((vg, vd))
+                vg, vd = vg[order], vd[order]
+                keep = np.ones(len(vg), dtype=bool)
+                keep[1:] = (vd[1:] != vd[:-1]) | (vg[1:] != vg[:-1])
+                vg, vd = vg[keep], vd[keep]
+            else:
+                vg = np.empty(0, dtype=np.uint64)
+                vd = np.empty(0, dtype=np.int64)
+            # short docs (T < n): single fallback gram = fold of the whole
+            # token-hash sequence (matches the oracle's single joined gram)
+            short = np.nonzero(t_counts < n)[0]
+            sg = np.empty(len(short), dtype=np.uint64)
+            for k, d in enumerate(short):
+                acc = P1
+                for h in h_flat[starts[d] : starts[d] + t_counts[d]]:
+                    acc = mix(acc ^ h * P2)
+                sg[k] = acc
+            all_d = np.concatenate((vd, short))
+            all_g = np.concatenate((vg, sg))
+            order = np.argsort(all_d, kind="stable")
+            all_d, all_g = all_d[order], all_g[order]
+            counts = np.bincount(all_d, minlength=nb)
+            g_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            grams_arr = pa.ListArray.from_arrays(
+                pa.array(g_offs), pa.array(all_g.view(np.int64))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), grams_arr], names=["doc_id", "grams"]
+            )
+
+    return (
+        df.select("doc_id", text_col)
+        .mapInArrow(grams_of, schema=f"doc_id {id_type}, grams array<bigint>")
+        .localCheckpoint(eager=False)
+    )
 
 
 def minhash_band_buckets(grams_df: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS) -> DataFrame:

@@ -180,8 +180,11 @@ def ivf_centroids_kmeans(
     Scale shape per iteration: one corpus scan (narrow — centroid argmin
     is a codegen'd expression over broadcast-literal centroids), one
     shuffle keyed by (cell, dim) with map-side partial aggregation, and
-    k x dim result rows to the driver. No per-row Python, no RNG (fully
-    deterministic), empty cells keep their previous centroid (the
+    k x dim result rows to the driver. No per-row Python, no RNG —
+    deterministic per configuration (same data, partitioning and session
+    config replay bitwise; across different partition layouts the F.avg
+    merges float partials in shuffle order, so boundary cells may differ
+    at the last ulp). Empty cells keep their previous centroid (the
     standard degenerate-cell rule)."""
     cents = ivf_centroids(corpus, k, id_col, vec_col)
     dim = len(cents[0]) if cents else 0

@@ -60,27 +60,11 @@ def lang_scores(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """argmax over the per-language stopword ratios, ties -> lexicographic
     smallest language (deterministic)."""
-    entries = F.array(
+    scored = F.array(
         *[
             F.struct(stopword_ratio(text, lang).alias("score"), F.lit(lang).alias("lang"))
             for lang in sorted(STOPWORDS)
         ]
-    )
-    best = F.array_max(
-        F.transform(
-            entries,
-            lambda e: F.struct(
-                e["score"].alias("score"),
-                # invert lang ordering so max picks lexicographically smallest on ties
-                F.lit(None).cast("string").alias("_pad"),
-                e["lang"].alias("lang"),
-            ),
-        )
-    )
-    # array_max on structs compares fields in order: score, then _pad, then lang
-    # (nulls first keeps ordering stable); recompute properly below
-    scored = F.transform(
-        entries, lambda e: F.struct(e["score"].alias("score"), e["lang"].alias("lang"))
     )
     max_score = F.array_max(F.transform(scored, lambda e: e["score"]))
     winners = F.filter(scored, lambda e: e["score"] == max_score)

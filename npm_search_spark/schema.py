@@ -190,6 +190,14 @@ FRONTIER = T.StructType(
     ]
 )
 
+# Quarantine sink rows: FRONTIER plus provenance — which job/generation
+# moved the row out of the live queue (reference tags moved records
+# `movedBy` when shifting them to the not-found/lost indices,
+# src/algolia/index.ts:64-93)
+QUARANTINE = T.StructType(
+    [*FRONTIER.fields, T.StructField("moved_by", T.StringType())]
+)
+
 # One-time changelog-probe memo (reference OneTimeBackgroundIndexer memoizes
 # per name@version, src/indexers/OneTimeBackgroundIndexer.ts:33-40)
 ONE_TIME = T.StructType(

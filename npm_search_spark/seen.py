@@ -44,6 +44,54 @@ from .tables import SnapTable
 SEEN_SCHEMA = "bucket int, key long, url string"
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32 of a 32-bit int (seed 42) — what
+    HashPartitioning applies under repartition(n, col). Verified against
+    F.hash in tests; public algorithm (Appleby's MurmurHash3)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = x & 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+_TOKEN_CACHE: dict[int, list[int]] = {}
+
+
+def _bucket_partition_tokens(n_parts: int) -> list[int]:
+    """tokens[p] is an int that Spark's hash partitioning places in
+    partition p: pmod(murmur3(tokens[p]), n_parts) == p. Mapping the
+    bucket-range id through this table makes repartition(n, token) an
+    EXACT range partitioner for the (already integer) bucket column —
+    one shuffle, no repartitionByRange sampling pass, each output
+    partition covering one contiguous bucket range."""
+    cached = _TOKEN_CACHE.get(n_parts)
+    if cached is not None:
+        return cached
+    out: list[int | None] = [None] * n_parts
+    found, t = 0, 0
+    while found < n_parts:
+        p = _murmur3_int(t) % n_parts
+        if out[p] is None:
+            out[p] = t
+            found += 1
+        t += 1
+    _TOKEN_CACHE[n_parts] = out  # type: ignore[assignment]
+    return out  # type: ignore[return-value]
+
+
+
+
 def _bloom_params(expected_keys: int, fp_rate: float) -> tuple[int, int]:
     m = max(64, int(-expected_keys * math.log(fp_rate) / (math.log(2) ** 2)))
     m = (m + 63) // 64 * 64
@@ -338,33 +386,69 @@ class SeenSet:
         range partitions (and hence files) per append; default lets AQE
         size them."""
         prev_snap = self.table.current_snapshot_id()
-        pinned = (
+        prev_files = (
+            set(self.table.snapshot().files) if prev_snap is not None else set()
+        )
+        spark_ = urls.sparkSession
+        # range-cluster by bucket: each data file covers one contiguous
+        # bucket range, so the manifest's per-file bucket stats (and parquet
+        # row-group stats) actually prune lookups. The partitioner is the
+        # deterministic token table (bucket-range id -> murmur token), NOT
+        # repartitionByRange: no sampling pass, so the whole append —
+        # upstream batch plan, key-dedup, cluster shuffle, sort, write —
+        # is ONE job, all JVM-side (no Python stage in the write path).
+        n_part = int(n_partitions or spark_.conf.get("spark.sql.shuffle.partitions"))
+        n_part = max(1, min(n_part, self.n_buckets))
+        toks = _bucket_partition_tokens(n_part)
+        pmap = F.create_map(
+            *[F.lit(x) for p in range(n_part) for x in (p, toks[p])]
+        )
+        range_id = F.floor(F.col("bucket") * n_part / self.n_buckets).cast("int")
+        rows = (
             self.keyed(urls.select(url_col), url_col)
             .select("bucket", "key", F.col(url_col).alias("url"))
             .dropDuplicates(["key"])
-            # pin BEFORE the range partitioning: repartitionByRange runs a
-            # sampling pass over its child, which would otherwise re-execute
-            # the whole upstream batch plan (bloom UDF, joins) a second time
-            .localCheckpoint(eager=False)
+            .repartition(n_part, pmap[range_id])
+            .sortWithinPartitions("bucket", "key")
         )
-        # range-cluster by (bucket, key): each data file covers a narrow
-        # contiguous bucket range, so the manifest's per-file bucket
-        # stats (and parquet row-group stats) actually prune lookups
-        range_cols = [F.col("bucket"), F.col("key")]
-        ranged = (
-            pinned.repartitionByRange(n_partitions, *range_cols)
-            if n_partitions
-            else pinned.repartitionByRange(*range_cols)
-        )
-        rows = ranged.sortWithinPartitions("bucket", "key")
         sid = self.table.append(rows, meta={"op": "seen-add"})
         if self._bloom is not None and self._bloom_snapshot == prev_snap:
             # incremental: fold only the appended batch into the cached
-            # bloom, reading the pre-shuffle pinned batch (the bloom is
-            # partitioning-agnostic; this skips re-running the range shuffle)
-            self._fold_into_bloom(self._shards_of(pinned))
+            # filter, read driver-side (pyarrow) from the files the append
+            # just wrote. No Spark job: the shard-collect alternative ships
+            # the same O(batch) bytes to the driver anyway (the dense filter
+            # lives there), and a columnar (bucket, key) read of the new
+            # files is strictly cheaper than scheduling a cluster pass.
+            new_files = [
+                f for f in self.table.snapshot(sid).files if f not in prev_files
+            ]
+            self._fold_files_into_bloom(new_files)
             self._bloom_snapshot = sid
         return sid
+
+    def _fold_files_into_bloom(self, files: list[str]) -> None:
+        """Driver-local incremental fold: read (bucket, key) of freshly
+        written parquet files and add them to the cached dense filter."""
+        import pyarrow.parquet as pq
+
+        if self._bloom is None:
+            self._bloom = self._new_filter()
+        for f in files:
+            tbl = pq.read_table(f, columns=["bucket", "key"])
+            buckets = tbl.column("bucket").to_numpy(zero_copy_only=False)
+            keys = tbl.column("key").to_numpy(zero_copy_only=False)
+            if self.backend == "bloom":
+                local = BloomShards(self.m, self.k)
+            else:
+                local = CuckooShards(self.cuckoo_rows)
+            local.add(buckets, keys)
+            for b, bm in local.shards.items():
+                self._bloom.merge_shard(b, bm)
+            for b, row, fp in getattr(local, "overflow", []):
+                self._bloom.reinsert_pair(b, int(row), int(fp))
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
 
     def compact(self, spark: SparkSession, n_partitions: int | None = None) -> int:
         """Rewrite the seen table into one globally (bucket, key)-clustered
@@ -399,12 +483,23 @@ class SeenSet:
         prev_snap = self.table.current_snapshot_id()
         filter_live = self._bloom is not None and self._bloom_snapshot == prev_snap
         # O(batch) driver collect, cuckoo only (bloom can't delete anyway);
-        # remove() batches are reconcile-sized, not crawl-sized
-        rows = (
-            keyed.select("bucket", "key").collect()
-            if filter_live and self.backend == "cuckoo"
-            else []
-        )
+        # remove() batches are reconcile-sized, not crawl-sized. The delete
+        # set is semi-joined against the exact table first: cuckoo delete is
+        # only valid for keys actually added (cuckoo.py contract) — deleting
+        # a never-added key that fingerprint-aliases a present key would
+        # strip the present key's copy and create a prefilter false negative.
+        rows = []
+        if filter_live and self.backend == "cuckoo" and prev_snap is not None:
+            batch = keyed.select("bucket", "key").localCheckpoint(eager=True)
+            bks = sorted({r["bucket"] for r in batch.select("bucket").distinct().collect()})
+            files = self.table.files_matching("bucket", bks)
+            if files:
+                present = (
+                    spark.read.parquet(*files)
+                    .where(F.col("bucket").isin([int(b) for b in bks]))
+                    .select("key")
+                )
+                rows = batch.join(present, "key", "left_semi").collect()
         sid = self.table.merge_delete(spark, keyed.select("key"), key="key",
                                       meta={"op": "seen-remove"})
         if filter_live:

@@ -89,10 +89,15 @@ def streaming_token_bucket(
             tokens, last_ms = state.get
         else:
             tokens, last_ms = rate * burst_s, None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            out, tokens, last_ms = _admit_pdf(pdf, rate, burst_s, tokens, last_ms)
+        # concatenate the Arrow chunks first: the runtime delivers each
+        # group's micro-batch as an iterator of <=maxRecordsPerBatch chunks,
+        # and admitting chunk-by-chunk would sort/admit each independently —
+        # violating the global (ts, url) order for >10k-row hot groups and
+        # diverging from batch_token_bucket under different chunkings
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            whole = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            out, tokens, last_ms = _admit_pdf(whole, rate, burst_s, tokens, last_ms)
             yield out[["host", "url", "ts", "priority", "admitted"]]
         state.update((float(tokens), int(last_ms if last_ms is not None else 0)))
 

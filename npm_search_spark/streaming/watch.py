@@ -120,6 +120,9 @@ class Watch:
             crawl.refresh_dims()
         deduped = dedup_last_wins(batch).cache()
         if not deduped.take(1):
+            # idle poll: zero generations, no state advance — the
+            # processingTime trigger sleeps until the next tick
+            deduped.unpersist()
             return
 
         # deletes: drop from packages + quarantine note (reference
@@ -141,11 +144,15 @@ class Watch:
         upserts = deduped.where(~F.col("deleted"))
         if upserts.take(1):
             rows = change_frontier_rows(crawl, upserts)
-            existing_urls = crawl.frontier.read(spark).select("url")
+            # enqueue-dedup: stats-pruned + broadcast-probed, never a
+            # shuffle of the frontier (changes are registry URLs)
+            from ..frontier import filter_new_urls
+
+            fresh_rows = filter_new_urls(
+                crawl.frontier, spark, rows, ["registry.npmjs.org"]
+            )
             crawl.frontier.append(
-                rows.join(existing_urls, "url", "left_anti").select(
-                    *[f.name for f in FRONTIER.fields]
-                ),
+                fresh_rows.select(*[f.name for f in FRONTIER.fields]),
                 meta={"op": "watch-enqueue", "batch": batch_id},
             )
             for _ in range(self.generations_per_batch):
@@ -181,20 +188,68 @@ class Watch:
 
     # -- streaming wrapper -----------------------------------------------------
 
-    def run_available_now(self):
-        """Consume everything currently in the changes table, then stop
-        (the test/cron trigger; production uses processingTime)."""
+    def _start(self, **trigger_kwargs):
         spark = self.crawl.spark
         stream = (
             spark.readStream.schema(CHANGES)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.changes_dir)
         )
-        q = (
+        return (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
+            .trigger(**trigger_kwargs)
             .start()
         )
-        q.awaitTermination()
-        return q
+
+    def _supervised(self, make_query, max_restarts, max_backoff_secs):
+        """Run a streaming query, restarting from the checkpoint with
+        exponential backoff on error — the reference ChangesReader's error
+        path on the _changes long-poll (src/npm/ChangesReader.ts:77-84).
+        Safe to restart blindly: process_batch is store-then-advance and
+        the source checkpoint only acks a batch after it returns, so a
+        crashed batch replays exactly-once."""
+        import time as _time
+
+        restarts = 0
+        while True:
+            q = make_query()
+            try:
+                q.awaitTermination()
+                return q
+            except Exception:
+                if max_restarts is not None and restarts >= max_restarts:
+                    raise
+                _time.sleep(min(2.0 ** restarts, max_backoff_secs))
+                restarts += 1
+
+    def run_available_now(self, max_restarts: int | None = 0, max_backoff_secs: float = 60.0):
+        """Consume everything currently in the changes table, then stop
+        (the test/cron trigger; production uses run_continuous).
+        ``max_restarts`` > 0 adds the supervised error-backoff restart."""
+        return self._supervised(
+            lambda: self._start(availableNow=True), max_restarts, max_backoff_secs
+        )
+
+    def run_continuous(
+        self,
+        poll_interval_secs: float = 30.0,
+        max_restarts: int | None = None,
+        max_backoff_secs: float = 300.0,
+        await_termination: bool = True,
+    ):
+        """Long-running watch: poll the changes feed every
+        ``poll_interval_secs`` — the reference ChangesReader's 30 s idle
+        pace (src/npm/ChangesReader.ts:77-84). An empty poll runs ZERO
+        generations (process_batch early-returns on an empty batch) and the
+        processingTime trigger sleeps until the next tick, so an idle feed
+        costs nothing. Errors restart from the streaming checkpoint with
+        exponential backoff (``max_restarts=None`` retries forever, the
+        production default). ``await_termination=False`` returns the
+        running query for the caller to manage."""
+        make = lambda: self._start(  # noqa: E731
+            processingTime=f"{poll_interval_secs} seconds"
+        )
+        if not await_termination:
+            return make()
+        return self._supervised(make, max_restarts, max_backoff_secs)

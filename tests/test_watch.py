@@ -26,6 +26,9 @@ def bootstrapped(spark, universe, tmp_path):
     c = Crawl(
         spark, str(tmp_path / "crawl"), universe, 10_000_000,
         budget_multiplier=100, backoff_scale=0.01,
+        # tombstone mode: the tests audit per-URL frontier rows (e.g. the
+        # once-per-seq enqueue) that gc_terminal=True (default) would GC
+        gc_terminal=False,
     )
     c.seed(universe["raw_docs"].select("doc_id"))
     c.run_bootstrap(max_generations=40, log=None)
@@ -126,3 +129,69 @@ def test_watch_applies_changes(spark, universe, bootstrapped, tmp_path):
     Watch(c, changes_dir, str(tmp_path / "ckpt")).run_available_now()
     assert c.packages.read(spark).where(F.col("objectID") == deleted_pkg).count() == 1
     assert c.state.load().seq == 104
+
+
+def test_empty_poll_runs_no_generations(spark, universe, bootstrapped, tmp_path):
+    """ChangesReader pacing (reference src/npm/ChangesReader.ts:77-84): an
+    idle feed must not spin crawl generations — an empty micro-batch is a
+    no-op (no generation increment, no state advance), and the
+    processingTime trigger sleeps until the next poll."""
+    c = bootstrapped
+    changes_dir = str(tmp_path / "ch-empty")
+    os.makedirs(changes_dir)
+    w = Watch(c, changes_dir, str(tmp_path / "ckpt-empty"))
+    gen_before = w._generation
+    st_before = c.state.load()
+    empty = spark.createDataFrame([], CHANGES)
+    w.process_batch(empty, 0)
+    assert w._generation == gen_before
+    st_after = c.state.load()
+    assert (st_after.seq if st_after else None) == (st_before.seq if st_before else None)
+
+
+def test_supervised_restart_backs_off_and_recovers(spark, universe, bootstrapped, tmp_path):
+    """The supervised runner retries a failed query from the checkpoint
+    (exponential backoff) — the reference's error path on the _changes
+    long-poll. First attempt dies mid-batch; the retry replays the batch
+    exactly-once and lands the change."""
+    c = bootstrapped
+    pkg = c.packages.read(spark).select("objectID").orderBy("objectID").first()[0]
+    changes_dir = str(tmp_path / "ch-err")
+    os.makedirs(changes_dir)
+    spark.createDataFrame([(701, pkg, False, "rev-e")], CHANGES).coalesce(1).write.mode(
+        "append"
+    ).parquet(changes_dir)
+    w = Watch(c, changes_dir, str(tmp_path / "ckpt-err"))
+    real = w.process_batch
+    calls = {"n": 0}
+
+    def flaky(batch, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("synthetic long-poll failure")
+        real(batch, batch_id)
+
+    w.process_batch = flaky
+    w.run_available_now(max_restarts=3, max_backoff_secs=0.05)
+    assert calls["n"] >= 2
+    assert c.state.load().seq == 701
+
+
+def test_continuous_trigger_idles_without_work(spark, universe, bootstrapped, tmp_path):
+    """run_continuous polls on a processingTime trigger; with an empty feed
+    it stays active without running any generation."""
+    import time as _time
+
+    c = bootstrapped
+    changes_dir = str(tmp_path / "ch-idle")
+    os.makedirs(changes_dir)
+    w = Watch(c, changes_dir, str(tmp_path / "ckpt-idle"))
+    gen_before = w._generation
+    q = w.run_continuous(poll_interval_secs=1.0, await_termination=False)
+    try:
+        assert q.isActive
+        _time.sleep(3.0)
+        assert q.isActive
+        assert w._generation == gen_before
+    finally:
+        q.stop()
