@@ -94,9 +94,12 @@ def politeness_schedule(
     budget_multiplier: int = 1,
     n_partitions: int | None = None,
     strategy: str = "auto",
+    hist_hints: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Exact top-budget rows per host under (priority DESC, url ASC) — the
-    T7 politeness-bucket operator.
+    T7 politeness-bucket operator. ``hist_hints`` (histogram strategy
+    only): per-host priority bounds from a previous tick — skips the
+    stats scan while staying exact (see _schedule_histogram_topk).
 
     Scale design: a naive Window.partitionBy(host) funnels each hot host's
     entire pending set (10^9+ rows for 3 structurally hot hosts) through a
@@ -150,7 +153,8 @@ def politeness_schedule(
         return _schedule_partial_topk(pending, budgets, default_budget, budget_multiplier)
     if strategy == "histogram":
         return _schedule_histogram_topk(
-            pending, budgets, default_budget, budget_multiplier, n_partitions, host_budget
+            pending, budgets, default_budget, budget_multiplier, n_partitions,
+            host_budget, hist_hints=hist_hints,
         )
     return _schedule_range_topk(
         pending, budgets, default_budget, budget_multiplier, n_partitions, host_budget
@@ -228,6 +232,7 @@ def _schedule_histogram_topk(
     n_partitions: int | None,
     host_budget,
     n_bins: int = 4096,
+    hist_hints: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Exact threshold top-k without shuffling pending.
 
@@ -241,29 +246,55 @@ def _schedule_histogram_topk(
     set is scanned, never shuffled or materialized. Bin membership is
     decided by the same expression in both the histogram job and the final
     plan, so float edge cases cannot misclassify a row across the two.
+
+    ``hist_hints`` {host: (priority_min, priority_max)} skips job 1: a
+    steady-state caller (the generation loop) reuses the previous tick's
+    bounds — stale bounds stay EXACT (out-of-range rows land in clamped /
+    negative bins, classified identically in both the histogram job and
+    the final plan), they only unbalance the bins. Hosts missing from the
+    hints are detected in the histogram job (null bin) and scheduled
+    through the stats-first path. The result carries two attributes:
+    ``scheduled_count`` (the exact winner count, known driver-side — no
+    count job needed) and ``hist_hints`` (bounds to pass back next tick).
     """
-    stats = pending.groupBy("host").agg(
-        F.count("*").alias("n"),
-        F.min("priority").alias("mn"),
-        F.max("priority").alias("mx"),
-    ).collect()
-    if not stats:
-        return pending.limit(0)
-    take_all = [r["host"] for r in stats if r["n"] <= host_budget(r["host"])]
-    need = [r for r in stats if r["n"] > host_budget(r["host"])]
-    if not need:
-        return pending
+    if hist_hints is None:
+        stats = pending.groupBy("host").agg(
+            F.count("*").alias("n"),
+            F.min("priority").alias("mn"),
+            F.max("priority").alias("mx"),
+        ).collect()
+        if not stats:
+            out = pending.limit(0)
+            out.scheduled_count = 0
+            out.hist_hints = {}
+            return out
+        take_all = [r["host"] for r in stats if r["n"] <= host_budget(r["host"])]
+        take_all_n = {
+            r["host"]: r["n"] for r in stats if r["n"] <= host_budget(r["host"])
+        }
+        need = [r for r in stats if r["n"] > host_budget(r["host"])]
+        if not need:
+            out = pending
+            out.scheduled_count = sum(take_all_n.values())
+            out.hist_hints = {
+                r["host"]: (float(r["mn"]), float(r["mx"])) for r in stats
+            }
+            return out
+        bounds = {r["host"]: (float(r["mn"]), float(r["mx"])) for r in need}
+    else:
+        take_all, take_all_n, need = [], {}, None
+        bounds = dict(hist_hints)
 
     # per-host uniform bin expression (shared by the histogram job and the
     # final plan). NULL priorities sort last under DESC in every strategy;
     # coalescing to the host minimum puts them in bin 0 where the boundary
     # window's (priority DESC NULLS LAST, url) order handles them exactly.
-    mn_map = F.create_map(*[F.lit(x) for r in need for x in (r["host"], float(r["mn"]))])
+    mn_map = F.create_map(*[F.lit(x) for hh, (mn, _) in bounds.items() for x in (hh, mn)])
     width_map = F.create_map(
         *[
             F.lit(x)
-            for r in need
-            for x in (r["host"], max((float(r["mx"]) - float(r["mn"])) / n_bins, 1e-12))
+            for hh, (mn, mx) in bounds.items()
+            for x in (hh, max((mx - mn) / n_bins, 1e-12))
         ]
     )
     h = F.col("host")
@@ -274,34 +305,39 @@ def _schedule_histogram_topk(
         F.lit(n_bins - 1),
     ).cast("int")
 
-    need_hosts = [r["host"] for r in need]
-    hist = (
-        pending.where(h.isin(need_hosts))
-        .groupBy("host", bin_expr.alias("_bin"))
-        .count()
-        .collect()
+    hist_src = pending if need is None else pending.where(
+        h.isin([r["host"] for r in need])
     )
+    hist = hist_src.groupBy("host", bin_expr.alias("_bin")).count().collect()
     by_host: dict[str, dict[int, int]] = {}
+    unknown: dict[str, int] = {}  # hosts absent from the hints (null bins)
     for r in hist:
-        by_host.setdefault(r["host"], {})[r["_bin"]] = r["count"]
+        if r["_bin"] is None:
+            unknown[r["host"]] = unknown.get(r["host"], 0) + r["count"]
+        else:
+            by_host.setdefault(r["host"], {})[r["_bin"]] = r["count"]
+    need_hosts = sorted(by_host)
     thr_bin: dict[str, int] = {}
     remaining: dict[str, int] = {}
     boundary_n: dict[str, int] = {}
-    for r in need:
-        hh = r["host"]
+    n_definite = 0
+    for hh in need_hosts:
         b = host_budget(hh)
         cum = 0
         bins_desc = sorted(by_host[hh], reverse=True)
         B = bins_desc[-1]
         for bn in bins_desc:
             c = by_host[hh][bn]
-            if cum + c >= b:
+            # stop at the budget boundary, or at the lowest bin (hints
+            # path: a host whose total fits its budget walks clean through)
+            if cum + c >= b or bn == bins_desc[-1]:
                 B = bn
                 break
             cum += c
         thr_bin[hh] = B
-        remaining[hh] = b - cum
+        remaining[hh] = min(b - cum, by_host[hh][B])
         boundary_n[hh] = by_host[hh][B]
+        n_definite += cum
 
     thr_map = F.create_map(*[F.lit(x) for hh, B in thr_bin.items() for x in (hh, B)])
     definite = pending.where(
@@ -338,13 +374,33 @@ def _schedule_histogram_topk(
                 lambda hh: remaining.get(hh, 0),
             )
         )
+    n_unknown = 0
+    if unknown:
+        # hosts the hints didn't cover: schedule them through the
+        # stats-first path on their (tiny) subset
+        sub = _schedule_histogram_topk(
+            pending.where(h.isin(sorted(unknown))),
+            budgets,
+            default_budget,
+            budget_multiplier,
+            n_partitions,
+            host_budget,
+            n_bins,
+        )
+        n_unknown = sub.scheduled_count
+        parts.append(sub)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     # materialize the O(budget) winner set: every downstream consumer
     # (count, dedup, seen-add, state updates) reads the winners, not a
     # re-execution of the pending scan + boundary window
-    return out.localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True)
+    out.scheduled_count = (
+        sum(take_all_n.values()) + n_definite + sum(remaining.values()) + n_unknown
+    )
+    out.hist_hints = dict(bounds)
+    return out
 
 
 def _schedule_range_topk(

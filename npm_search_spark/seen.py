@@ -298,7 +298,11 @@ class SeenSet:
         ).withColumn("bucket", url_bucket(F.col(url_col), self.n_buckets))
 
     def filter_unseen(
-        self, spark: SparkSession, urls: DataFrame, url_col: str = "url"
+        self,
+        spark: SparkSession,
+        urls: DataFrame,
+        url_col: str = "url",
+        prune_buckets: bool = True,
     ) -> DataFrame:
         """Rows of ``urls`` whose canonical URL is not in the seen set.
 
@@ -306,6 +310,12 @@ class SeenSet:
         candidates into definitely-unseen and possibly-seen; only the
         latter touch the exact seen table, via a key-pruned semi scan +
         broadcast anti-join (the big table is never shuffled).
+
+        ``prune_buckets=False`` skips the suspects' distinct-bucket collect
+        (one driver action) and scans every file: right for bootstrap-sized
+        batches whose suspects span all buckets anyway — the collect is the
+        cost and the pruning buys nothing. Watch-mode micro-batches keep
+        the default (a handful of buckets -> a handful of files read).
         """
         cand = self.keyed(urls, url_col)
         if self.table.current_snapshot_id() is None:
@@ -340,23 +350,33 @@ class SeenSet:
         # row-group stats prune within the surviving files. A small suspect
         # batch (watch mode) therefore reads a handful of files, not the
         # table.
-        sus_buckets = sorted(
-            {r["bucket"] for r in suspects.select("bucket").distinct().collect()}
-        )
-        files = self.table.files_matching("bucket", sus_buckets)
         snap = self.table.snapshot()
-        self.last_prune = {
-            "files_scanned": len(files),
-            "files_total": len(snap.files) if snap else 0,
-        }
-        if not files or not sus_buckets:
-            # every suspect was a Bloom false positive
-            return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
-        seen = (
-            spark.read.parquet(*files)
-            .where(F.col("bucket").isin([int(b) for b in sus_buckets]))
-            .select("key", F.col("url").alias("_seen_url"))
-        )
+        if prune_buckets:
+            sus_buckets = sorted(
+                {r["bucket"] for r in suspects.select("bucket").distinct().collect()}
+            )
+            files = self.table.files_matching("bucket", sus_buckets)
+            self.last_prune = {
+                "files_scanned": len(files),
+                "files_total": len(snap.files) if snap else 0,
+            }
+            if not files or not sus_buckets:
+                # every suspect was a Bloom false positive
+                return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
+            seen = (
+                spark.read.parquet(*files)
+                .where(F.col("bucket").isin([int(b) for b in sus_buckets]))
+                .select("key", F.col("url").alias("_seen_url"))
+            )
+        else:
+            files = snap.files if snap else []
+            self.last_prune = {
+                "files_scanned": len(files),
+                "files_total": len(files),
+            }
+            seen = spark.read.parquet(*files).select(
+                "key", F.col("url").alias("_seen_url")
+            )
         confirmed = (
             seen.join(
                 F.broadcast(suspects.select("key", F.col(url_col).alias("_cand_url"))),

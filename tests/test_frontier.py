@@ -57,6 +57,36 @@ class TestPolitenessSchedule:
         reg = [r["priority"] for r in out.where(F.col("host") == "registry.npmjs.org").collect()]
         assert sorted(reg) == [44.0, 45.0, 46.0, 47.0, 48.0, 49.0]
 
+    def test_histogram_hints_stay_exact(self, spark):
+        """Steady-state histogram scheduling with carried-over bounds must
+        stay EXACT even when the hints are stale (too-narrow bounds push
+        rows into clamped/negative bins — classified identically in the
+        histogram job and the final plan) or miss a host entirely (null
+        bin -> scheduled through the stats-first path)."""
+        rows = [
+            (f"https://h0.org/p{i:03d}", "h0.org", float(i % 13)) for i in range(60)
+        ] + [
+            (f"https://h1.org/q{i:03d}", "h1.org", float(50 - i)) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "url string, host string, priority double")
+        budget = 9
+        expected = set()
+        for host in ("h0.org", "h1.org"):
+            items = sorted(
+                [(u, p) for u, h, p in rows if h == host],
+                key=lambda t: (-t[1], t[0]),
+            )
+            expected |= {u for u, _ in items[:budget]}
+        # stale bounds for h0 (true range is [0, 12]); h1 absent entirely
+        sched = politeness_schedule(
+            df, {}, default_budget=budget, strategy="histogram",
+            hist_hints={"h0.org": (3.0, 7.0)},
+        )
+        got = {r["url"] for r in sched.collect()}
+        assert got == expected
+        assert sched.scheduled_count == len(expected)
+        assert "h0.org" in sched.hist_hints
+
     def test_deterministic(self, spark):
         rows = [(f"https://h/{i}", "h", 1.0) for i in range(100)]
         df = spark.createDataFrame(rows, "url string, host string, priority double")
@@ -217,6 +247,21 @@ class TestRetryClasses:
               .select("doc_id").distinct().count())
         assert n_pkgs + nf == N_DOCS
         assert c.frontier.read(spark).where(F.col("retries") > 0).count() == 0
+
+
+class TestQuarantineProvenance:
+    def test_not_found_rows_carry_moved_by(self, spark, universe, tmp_path):
+        """Quarantined rows record which job/generation moved them out of
+        the live queue (reference tags moved records `movedBy`,
+        src/algolia/index.ts:64-93)."""
+        c = Crawl(spark, str(tmp_path / "q"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=0)
+        c.seed(universe["raw_docs"].select("doc_id"))
+        c.run_generation(1)
+        nf = c.not_found.read(spark)
+        assert nf.count() > 0
+        tags = {r["moved_by"] for r in nf.select("moved_by").distinct().collect()}
+        assert tags == {"bootstrap:gen-1"}
 
 
 class TestFrontierGC:
