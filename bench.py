@@ -132,28 +132,50 @@ def frontier_benchmark(
     seen.add(spark, pre)
     seen._bloom_current(spark)  # cold build; steady state is incremental
 
-    # the pending set is a materialized, shrinking snapshot per generation —
-    # the harness twin of the engine's frontier table, where MERGE flips row
-    # state in place and the next pending scan reads the committed state.
-    # Retirement broadcasts only THIS generation's scheduled keys (the
-    # micro-batch), never a cumulative set: the scheduler scans pending
-    # several times (stats/histogram/winners), and each scan must not pay a
-    # growing O(total-scheduled) broadcast rebuild.
-    pending = frontier.persist(StorageLevel.MEMORY_AND_DISK)
-    pending.count()
+    # the base frontier is cached ONCE; retirement is a PREDICATE, the
+    # harness twin of the engine's in-place MERGE state flip. The histogram
+    # scheduler reports its exact winner set in bin space — per host,
+    # {bin > B} ∪ {bin == B ∩ taken} — and thresholds only ever descend, so
+    # the pending set of generation g is
+    #   base WHERE bin <= B_host(latest)  MINUS  boundary-take urls
+    # (the takes are O(bin size) rows, broadcast; earlier generations'
+    # takes sit in higher bins and fall out via the threshold). Nothing is
+    # re-materialized per generation — no O(pending) memcpy, no growing
+    # anti-join, which is exactly the bus traffic a 4N-executor cluster
+    # would not pay either.
+    from npm_search_spark.frontier import histogram_bin_expr
+
+    base = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
     tt0 = task_time_sums(spark)
     t0 = time.time()
     total_scheduled = 0
     gens = 0
     hints = None  # per-host priority bounds, reused across generations
+    thresholds: dict[str, int] = {}
+    consumed: set[str] = set()
+    takes = None  # boundary-take urls (tiny, localCheckpoint'ed)
     for _ in range(generations):
+        pending = base
+        if consumed:
+            pending = pending.where(~F.col("host").isin(sorted(consumed)))
+        if thresholds:
+            thr_map = F.create_map(
+                *[F.lit(x) for hh, B in thresholds.items() for x in (hh, B)]
+            )
+            bexpr = histogram_bin_expr(hints)
+            pending = pending.where(
+                F.coalesce(bexpr <= thr_map[F.col("host")], F.lit(True))
+            )
+        if takes is not None:
+            pending = pending.join(F.broadcast(takes), "url", "left_anti")
         sched = politeness_schedule(
             pending, DEFAULT_BUDGETS, budget_multiplier=trigger_secs,
             hist_hints=hints,
         )
         # the histogram scheduler knows its exact winner count driver-side
-        # and hands back the bounds for the next tick — no count job, no
-        # per-generation stats scan
+        # and hands back bounds + thresholds for the next tick — no count
+        # job, no per-generation stats scan
         n = getattr(sched, "scheduled_count", None)
         hints = getattr(sched, "hist_hints", None) or hints
         if n is None:
@@ -163,20 +185,32 @@ def frontier_benchmark(
         # bootstrap-sized batches span all buckets: skip the prune collect
         fresh = seen.filter_unseen(spark, sched, prune_buckets=False)
         seen.add(spark, fresh)
-        sched_keys = sched.select(F.xxhash64("url").alias("_k"))
-        nxt = pending.join(
-            F.broadcast(sched_keys),
-            F.xxhash64(pending["url"]) == F.col("_k"),
-            "left_anti",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()  # materialize before releasing the parent snapshot
-        pending.unpersist()
-        pending = nxt
+        new_thr = getattr(sched, "hist_thresholds", None)
+        consumed.update(getattr(sched, "consumed_hosts", []) or [])
+        if new_thr is not None and hints is not None:
+            thresholds.update(new_thr)
+            # this generation's boundary takes: winners in the threshold bin
+            thr_map = F.create_map(
+                *[F.lit(x) for hh, B in new_thr.items() for x in (hh, B)]
+            )
+            bexpr = histogram_bin_expr(hints)
+            g_takes = sched.where(
+                F.col("host").isin(sorted(new_thr)) & (bexpr == thr_map[F.col("host")])
+            ).select("url")
+            takes = (
+                g_takes if takes is None else takes.unionByName(g_takes)
+            ).localCheckpoint(eager=True)
+        else:
+            # non-histogram scheduler: fall back to key anti-join retirement
+            sched_keys = sched.select("url").localCheckpoint(eager=True)
+            takes = sched_keys if takes is None else takes.unionByName(
+                sched_keys
+            ).localCheckpoint(eager=True)
         total_scheduled += n
         gens += 1
     elapsed = time.time() - t0
     tt1 = task_time_sums(spark)
-    pending.unpersist()
+    base.unpersist()
     return {
         "n_urls": n_urls,
         "generations": gens,
@@ -329,7 +363,7 @@ def run_scaling(args) -> int:
                 "--probe-urls", str(args.probe_urls),
                 "--trigger-secs", str(args.trigger_secs),
                 "--generations", str(args.generations),
-                "--drain-passes", "2",
+                "--drain-passes", "3",
             ],
             capture_output=True,
             text=True,

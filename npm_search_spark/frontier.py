@@ -222,6 +222,31 @@ def _schedule_partial_topk(
 # a boundary bin larger than this per host falls back to the range
 # strategy for that bin (window funnel guard — one task sorts the bin)
 HIST_BOUNDARY_CAP = 262_144
+HIST_N_BINS = 4096
+
+
+def histogram_bin_expr(
+    bounds: dict[str, tuple[float, float]], n_bins: int = HIST_N_BINS
+):
+    """The histogram strategy's per-host priority->bin expression for a
+    given bounds table — exposed so a caller can reason about the winner
+    set in bin space (e.g. the drain retires scheduled rows by threshold
+    predicate instead of materializing an anti-join)."""
+    mn_map = F.create_map(*[F.lit(x) for hh, (mn, _) in bounds.items() for x in (hh, mn)])
+    width_map = F.create_map(
+        *[
+            F.lit(x)
+            for hh, (mn, mx) in bounds.items()
+            for x in (hh, max((mx - mn) / n_bins, 1e-12))
+        ]
+    )
+    h = F.col("host")
+    return F.least(
+        F.floor(
+            (F.coalesce(F.col("priority"), mn_map[h]) - mn_map[h]) / width_map[h]
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
 
 
 def _schedule_histogram_topk(
@@ -267,6 +292,8 @@ def _schedule_histogram_topk(
             out = pending.limit(0)
             out.scheduled_count = 0
             out.hist_hints = {}
+            out.hist_thresholds = {}
+            out.consumed_hosts = []
             return out
         take_all = [r["host"] for r in stats if r["n"] <= host_budget(r["host"])]
         take_all_n = {
@@ -279,6 +306,8 @@ def _schedule_histogram_topk(
             out.hist_hints = {
                 r["host"]: (float(r["mn"]), float(r["mx"])) for r in stats
             }
+            out.hist_thresholds = {}
+            out.consumed_hosts = list(take_all)
             return out
         bounds = {r["host"]: (float(r["mn"]), float(r["mx"])) for r in need}
     else:
@@ -289,21 +318,8 @@ def _schedule_histogram_topk(
     # final plan). NULL priorities sort last under DESC in every strategy;
     # coalescing to the host minimum puts them in bin 0 where the boundary
     # window's (priority DESC NULLS LAST, url) order handles them exactly.
-    mn_map = F.create_map(*[F.lit(x) for hh, (mn, _) in bounds.items() for x in (hh, mn)])
-    width_map = F.create_map(
-        *[
-            F.lit(x)
-            for hh, (mn, mx) in bounds.items()
-            for x in (hh, max((mx - mn) / n_bins, 1e-12))
-        ]
-    )
     h = F.col("host")
-    bin_expr = F.least(
-        F.floor(
-            (F.coalesce(F.col("priority"), mn_map[h]) - mn_map[h]) / width_map[h]
-        ),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    bin_expr = histogram_bin_expr(bounds, n_bins)
 
     hist_src = pending if need is None else pending.where(
         h.isin([r["host"] for r in need])
@@ -400,6 +416,15 @@ def _schedule_histogram_topk(
         sum(take_all_n.values()) + n_definite + sum(remaining.values()) + n_unknown
     )
     out.hist_hints = dict(bounds)
+    # winner-set description in bin space, for threshold-based retirement:
+    # a host's scheduled rows are exactly {bin > B} ∪ {bin == B ∩ taken};
+    # take_all hosts were scheduled entirely
+    out.hist_thresholds = dict(thr_bin)
+    out.consumed_hosts = list(take_all)
+    if unknown:
+        out.hist_thresholds.update(getattr(sub, "hist_thresholds", {}))
+        out.consumed_hosts += getattr(sub, "consumed_hosts", [])
+        out.hist_hints.update(getattr(sub, "hist_hints", {}))
     return out
 
 
@@ -728,22 +753,85 @@ class Crawl:
 
     # -- bootstrap finalization + redo window --------------------------------
 
-    def finalize_bootstrap(self, prod_root: str | None = None, now_ms: int | None = None) -> SnapTable:
+    # Index-settings analogue of the reference's Algolia config
+    # (src/config.ts:28-89): the custom ranking becomes the prod table's
+    # declared sort/cluster order (each data file then covers a popularity
+    # band, so ranked top-k reads prune to the head files), and the
+    # searchable/unretrievable attribute lists are recorded verbatim in the
+    # promote commit for downstream search layers.
+    INDEX_SETTINGS = {
+        "custom_ranking": [
+            "desc(_downloadsMagnitude)",
+            "desc(_jsDelivrPopularity)",
+            "desc(dependents)",
+            "desc(downloadsLast30Days)",
+        ],
+        "ranking_tiebreakers": [
+            "asc(isSecurityHeld)",
+            "asc(isDeprecated)",
+            "desc(popular)",
+        ],
+        "searchable_attributes": [
+            "name",
+            "description",
+            "keywords",
+            "owner.name",
+            "alternativeNames",
+        ],
+        "unretrievable_attributes": [
+            "_oneTimeDataToUpdateAt",
+            "_periodicDataUpdatedAt",
+        ],
+    }
+
+    def finalize_bootstrap(
+        self,
+        prod_root: str | None = None,
+        now_ms: int | None = None,
+        apply_ranking_layout: bool = False,
+    ) -> SnapTable:
         """Promote the bootstrap output to the production table and mark the
         stage ``watch`` (reference copies the bootstrap index over prod and
         deletes it, src/bootstrap.ts:167-200).
 
         SnapTable data files are immutable, so the promote is a manifest
         commit pointing at the same files — O(1) data movement, the exact
-        analogue of Algolia's server-side index copy."""
-        prod = SnapTable(prod_root or f"{self.root}/packages_prod", FINAL_PACKAGE)
+        analogue of Algolia's server-side index copy. The promote commit
+        carries INDEX_SETTINGS (the reference's searchable-attributes /
+        custom-ranking config, src/config.ts:28-89);
+        ``apply_ranking_layout=True`` additionally rewrites prod clustered
+        by the custom-ranking order (descending), so each data file covers
+        a popularity band and ranked top-k reads prune to the head files —
+        the physical analogue of the index's customRanking."""
+        prod = SnapTable(
+            prod_root or f"{self.root}/packages_prod",
+            FINAL_PACKAGE,
+            stats_cols=["_downloadsMagnitude", "downloadsLast30Days"],
+        )
         snap = self.packages.snapshot()
         prod._commit(
             "promote",
             snap.files if snap else [],
-            {"from": self.packages.root, "src_snapshot": snap.snapshot_id if snap else None},
+            {
+                "from": self.packages.root,
+                "src_snapshot": snap.snapshot_id if snap else None,
+                "index_settings": self.INDEX_SETTINGS,
+            },
             file_stats=(snap.file_stats or {}) if snap else {},
         )
+        if apply_ranking_layout and snap and snap.files:
+            rank_cols = [
+                F.desc(s[5:-1]) if s.startswith("desc(") else F.asc(s[4:-1])
+                for s in self.INDEX_SETTINGS["custom_ranking"]
+            ]
+            ranked = (
+                prod.read(self.spark)
+                .repartitionByRange(*rank_cols)
+                .sortWithinPartitions(*rank_cols)
+            )
+            prod.overwrite(
+                ranked, meta={"op": "ranking-layout", "index_settings": self.INDEX_SETTINGS}
+            )
         st = self.state.load() or CrawlState()
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         self.state.save(

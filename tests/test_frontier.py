@@ -352,6 +352,32 @@ class TestBootstrapLifecycle:
         prod2 = c.finalize_bootstrap(now_ms=now + BOOTSTRAP_REDO_MS)
         assert prod2.read(spark).count() == n_prod  # same universe re-crawled
 
+        # index-settings analogue: the promote commit records the
+        # reference's searchable-attributes/custom-ranking config, and the
+        # optional ranking layout clusters prod by the custom ranking so
+        # each file covers a popularity band (stats-prunable top-k reads)
+        hist = prod2.history()
+        promote = [s for s in hist if s.operation == "promote"][-1]
+        assert promote.meta["index_settings"]["custom_ranking"][0] == (
+            "desc(_downloadsMagnitude)"
+        )
+        prod3 = c.finalize_bootstrap(
+            now_ms=now + BOOTSTRAP_REDO_MS, apply_ranking_layout=True
+        )
+        snap3 = prod3.snapshot()
+        assert snap3.meta.get("op") == "ranking-layout"
+        assert prod3.read(spark).count() == n_prod
+        bands = [
+            snap3.file_stats[f]["_downloadsMagnitude"]
+            for f in snap3.files
+            if f in snap3.file_stats and "_downloadsMagnitude" in snap3.file_stats[f]
+        ]
+        if len(bands) > 1:
+            # range-clustered on the ranking: bands are ordered, not mixed
+            assert max(b[1] for b in bands) > min(b[1] for b in bands) or all(
+                b == bands[0] for b in bands
+            )
+
     def test_refresh_dims_picks_up_universe_changes(self, spark, universe, tmp_path):
         c = Crawl(spark, str(tmp_path / "d"), universe, 10_000_000)
         old = c._hits_ranked
