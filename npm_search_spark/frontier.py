@@ -241,12 +241,23 @@ def histogram_bin_expr(
         ]
     )
     h = F.col("host")
-    return F.least(
-        F.floor(
-            (F.coalesce(F.col("priority"), mn_map[h]) - mn_map[h]) / width_map[h]
-        ),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    # Spark's `least` SKIPS nulls, so clamping a null floor with
+    # least(floor, n_bins-1) would silently return n_bins-1 for a host
+    # absent from `bounds` — gate on the null floor explicitly so unknown
+    # hosts yield a NULL bin and route through the stats-first path.
+    return (
+        F.when(mn_map[h].isNull(), F.lit(None))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.coalesce(F.col("priority"), mn_map[h]) - mn_map[h])
+                    / width_map[h]
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+    )
 
 
 def _schedule_histogram_topk(
@@ -355,10 +366,20 @@ def _schedule_histogram_topk(
         boundary_n[hh] = by_host[hh][B]
         n_definite += cum
 
-    thr_map = F.create_map(*[F.lit(x) for hh, B in thr_bin.items() for x in (hh, B)])
+    # hints path with every pending row on an unknown host: need_hosts is
+    # empty and an empty create_map() would fail analysis — gate the branch
+    thr_map = (
+        F.create_map(*[F.lit(x) for hh, B in thr_bin.items() for x in (hh, B)])
+        if thr_bin
+        else None
+    )
     definite = pending.where(
         h.isin(take_all) if take_all else F.lit(False)
-    ).unionByName(pending.where(h.isin(need_hosts) & (bin_expr > thr_map[h])))
+    ).unionByName(
+        pending.where(h.isin(need_hosts) & (bin_expr > thr_map[h]))
+        if need_hosts
+        else pending.where(F.lit(False))
+    )
 
     # the boundary bins: exact top-(remaining) per host. Tiny by
     # construction (~count/n_bins rows per host); hosts whose boundary bin
@@ -555,7 +576,25 @@ def filter_new_urls(
     dup = existing.select("url").join(
         F.broadcast(additions.select("url")), "url", "left_semi"
     )
-    return additions.join(F.broadcast(dup), "url", "left_anti")
+    out = additions.join(F.broadcast(dup), "url", "left_anti")
+    if hosts:
+        # the pruned probe only checked `hosts`; an addition row outside
+        # that set would silently escape the dedup. Enforce the contract
+        # in the returned plan itself (assert_true evaluates per row when
+        # the output is consumed — no extra driver action): a row whose
+        # host is outside the pruning list fails the enqueue loudly
+        # instead of re-queuing a duplicate.
+        in_hosts = F.col("host").isin(list(hosts))
+        out = out.where(
+            F.assert_true(
+                in_hosts,
+                F.concat(
+                    F.lit("filter_new_urls: addition host outside pruning list: "),
+                    F.coalesce(F.col("host"), F.lit("NULL")),
+                ),
+            ).isNull()
+        )
+    return out
 
 
 def registry_url(name_col) -> "F.Column":

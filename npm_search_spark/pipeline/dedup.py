@@ -222,17 +222,12 @@ def doc_grams(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
                 dtype=bool,
             ) if len(idx) else np.empty(0, dtype=bool)
             h_flat = h_flat[nonempty]
-            raw_lens = np.diff(offs)
-            t_counts = (
-                # reduceat quirks: an index == len(a) raises, and an empty
-                # segment returns a[i] instead of 0 — clip then zero out
-                np.add.reduceat(
-                    nonempty, np.minimum(offs[:-1], len(nonempty) - 1), dtype=np.int64
-                )
-                if len(nonempty)
-                else np.zeros(nb, dtype=np.int64)
-            )
-            t_counts = np.where(raw_lens > 0, t_counts, 0)
+            # per-doc nonempty-token counts via prefix-sum differences:
+            # exact for empty/null segments anywhere in the batch, unlike
+            # reduceat whose index clipping shifts boundaries when trailing
+            # rows have zero raw tokens (null text)
+            cs = np.concatenate(([0], np.cumsum(nonempty, dtype=np.int64)))
+            t_counts = cs[offs[1:]] - cs[offs[:-1]]
             starts = np.concatenate(([0], np.cumsum(t_counts)[:-1]))
 
             # full shingle windows over the compacted hash stream

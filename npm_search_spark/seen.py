@@ -374,6 +374,10 @@ class SeenSet:
                 "files_scanned": len(files),
                 "files_total": len(files),
             }
+            if not files:
+                # snapshot exists but holds zero files (e.g. merge_delete
+                # removed everything): every candidate is unseen
+                return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
             seen = spark.read.parquet(*files).select(
                 "key", F.col("url").alias("_seen_url")
             )

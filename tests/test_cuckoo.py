@@ -133,6 +133,23 @@ class TestSeenSetCuckooBackend:
         s2 = SeenSet(root, expected_keys_per_bucket=64, backend="cuckoo")
         assert s2.filter_unseen(spark, urls).count() == 0
 
+    def test_filter_unseen_zero_file_snapshot(self, spark, tmp_path, urls):
+        """A snapshot that exists but holds zero files (everything
+        merge-deleted) must treat every candidate as unseen in BOTH
+        pruning modes — the unpruned branch used to call
+        spark.read.parquet() with no paths and raise."""
+        root = str(tmp_path / "zf")
+        s = SeenSet(root, expected_keys_per_bucket=64)
+        s.add(spark, urls)
+        # force a snapshot with an EMPTY file list (remove() may leave a
+        # rewritten file behind; the regression needs literally zero files)
+        s.table._commit("delete", [], {}, {})
+        fresh = SeenSet(root, expected_keys_per_bucket=64)
+        assert fresh.table.snapshot().files == []
+        n = urls.count()
+        assert fresh.filter_unseen(spark, urls, prune_buckets=True).count() == n
+        assert fresh.filter_unseen(spark, urls, prune_buckets=False).count() == n
+
     def test_remove_releases_urls(self, spark, tmp_path, urls):
         for backend in ("cuckoo", "bloom"):
             s = SeenSet(

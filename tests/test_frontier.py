@@ -86,6 +86,10 @@ class TestPolitenessSchedule:
         assert got == expected
         assert sched.scheduled_count == len(expected)
         assert "h0.org" in sched.hist_hints
+        # the unknown host must be DETECTED (null bin -> stats-first path),
+        # not silently clamped to the top bin: its true bounds come back in
+        # hist_hints so the next tick schedules it on the fast path
+        assert sched.hist_hints.get("h1.org") == (11.0, 50.0)
 
     def test_deterministic(self, spark):
         rows = [(f"https://h/{i}", "h", 1.0) for i in range(100)]

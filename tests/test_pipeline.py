@@ -64,6 +64,31 @@ class TestDedup:
         assert capped == exact
         assert ngram_jaccard_pairs(near_dup_docs, threshold=0.5, max_df=1).count() == 0
 
+    def test_doc_grams_null_and_empty_text(self, spark):
+        """Nullable text anywhere in a batch (incl. TRAILING null — the
+        reduceat-clip regression) must not shift neighbor boundaries: the
+        real doc's gram set is identical to a null-free run."""
+        from npm_search_spark.pipeline.dedup import doc_grams
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, None),  # trailing-in-batch null
+            (3, "x y"),  # short doc (T < n)
+            (4, None),
+            (5, ""),
+            (6, "   "),
+            (7, None),  # batch ends on null
+        ]
+        # coalesce(1): every row in ONE Arrow batch so placement matters
+        df = spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1)
+        got = {r["doc_id"]: sorted(r["grams"]) for r in doc_grams(df).collect()}
+        ref_df = spark.createDataFrame([rows[0], rows[2]], DOC_SCHEMA).coalesce(1)
+        ref = {r["doc_id"]: sorted(r["grams"]) for r in doc_grams(ref_df).collect()}
+        assert got[1] == ref[1] and len(got[1]) == 3
+        assert got[3] == ref[3]
+        # null/empty/whitespace docs all collapse to the same empty-fold gram
+        assert got[2] == got[4] == got[5] == got[6] == got[7]
+
     def test_minhash_lsh_finds_exact_and_near(self, spark, near_dup_docs):
         from npm_search_spark.pipeline.dedup import minhash_lsh_dedup_pairs
 

@@ -135,6 +135,19 @@ def test_enqueue_check_never_shuffles_frontier(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Exchange hashpartitioning(url" not in plan
 
+    # contract enforcement: an addition whose host is outside the pruning
+    # list would silently escape the dedup — it must fail loudly instead
+    stray = additions.unionByName(
+        spark.createDataFrame(
+            [("https://evil.example/x", "evil.example",
+              "file_list", "stray", 1.0, 0, "pending", None, 0,
+              {"partition_id": 0, "snapshot_id": 0, "generation": 0})],
+            FRONTIER,
+        )
+    )
+    with pytest.raises(Exception, match="outside pruning list"):
+        filter_new_urls(t, spark, stray, ["cdn.jsdelivr.net"]).collect()
+
 
 def test_histogram_schedule_never_shuffles_pending(spark):
     """The huge-budget (histogram) politeness path must scan pending and
