@@ -357,18 +357,16 @@ def _docs_with_dups(spark, sf):
     """documents ∪ exact copies of every 10th doc (ids +1000000) — a
     deterministic near-dup universe both engines can derive identically.
 
-    The testdata parquet is a single row group (unsplittable), so the
-    CPU-heavy per-doc stages downstream would otherwise run on one or two
-    cores; fan the scan out to the cluster width first (at real scale the
-    input already has more splits than cores and the shuffle is the
-    ingest cost, not a hot loop)."""
+    No fan-out here: the CPU-heavy per-doc stages (doc_grams,
+    simhash_signatures, ngram_jaccard_pairs) each repartition to cluster
+    width themselves when the input arrives under-partitioned, while the
+    cheap fingerprint groupBy (dedup_exact) consumes the unshuffled scan —
+    a blanket repartition was a pure shuffle tax on the latter."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
     dups = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return d.unionByName(dups).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return d.unionByName(dups)
 
 
 def q_dedup_exact(spark, sf):

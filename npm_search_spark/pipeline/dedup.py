@@ -108,6 +108,11 @@ def ngram_jaccard_pairs(
     quadratic in corpus size. Pairs whose *only* overlap is such stop-grams
     are missed — at any realistic threshold those are far below it, but the
     default (None) stays exact so the DuckDB oracle matches bit-for-bit."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        # under-partitioned input (small files): fan out so the whole
+        # cluster runs the CPU-heavy gram expression; a no-op at real scale
+        df = df.repartition(sc.defaultParallelism)
     grams = df.select(
         F.col("doc_id"), word_ngram_hashes(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
