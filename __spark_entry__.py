@@ -413,6 +413,36 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(_docs_with_dups(spark, sf), max_hamming=3)
 
 
+def q_dedup_simhash_recall(spark, sf):
+    """Self-certifying SimHash: recall of the chunk-blocked near-pair join
+    vs exact brute-force Hamming distance over ALL signature pairs of the
+    planted near-dup universe (exact copies guarantee true pairs exist).
+    4x16-bit chunk blocking is exact for hamming <= 3 by pigeonhole — a
+    pair differing in <= 3 bits shares at least one untouched chunk — so
+    recall must be 1.0; the oracle asserts the pass row."""
+    from npm_search_spark.pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = _docs_with_dups(spark, sf)
+    sigs = simhash_signatures(docs).select("doc_id", "simhash")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 3
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    approx = simhash_near_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    marked = brute.join(
+        approx.withColumn("_h", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    return marked.agg(
+        (F.sum(F.coalesce(F.col("_h"), F.lit(0))) / F.count("*")).alias("_r")
+    ).select(
+        F.lit("simhash").alias("method"), (F.col("_r") >= 0.999).alias("recall_ok")
+    )
+
+
 def q_text_stats(spark, sf):
     """Token counts, stopword/punct ratios, fingerprints."""
     from npm_search_spark.pipeline.textstats import (
@@ -567,18 +597,48 @@ def q_embedding_dup_pairs(spark, sf):
 
 
 def q_multimodal_decode(spark, sf):
-    """Multimodal plumbing: documents -> media rows -> Arrow-batched decode
-    stub -> per-type feature stats (rows-only: binary payloads + stubbed
-    codecs are not SQL-expressible)."""
+    """Multimodal plumbing end-to-end with a real DuckDB oracle: every
+    document grows one deterministic media span (ext keyed by doc_id), the
+    spans become binary-payload media rows, the Arrow-batched decode stub
+    extracts per-type metadata, and the per-type rollup is compared against
+    a pure-SQL twin that reproduces the md5 arithmetic (the fake decode is
+    md5-of-hex — SQL-expressible by design, multimodal.py)."""
     from npm_search_spark.pipeline.multimodal import decode_media, media_rows_from_spans
-    from npm_search_spark.sources import synthetic as SYN
 
-    docs = SYN.documents(spark, 200, partitions=4)
+    d = _t(spark, sf, "documents")
+    exts = F.element_at(
+        F.array(*[F.lit(x) for x in ("png", "jpg", "mp3", "mp4", "gif")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    fname = F.concat(F.lit("asset-"), F.col("doc_id"), F.lit("."), exts)
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                fname.alias("text"),
+                F.concat(F.lit("media://"), F.col("doc_id"), F.lit("."), exts).alias(
+                    "media_ref"
+                ),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
     decoded = decode_media(media_rows_from_spans(docs))
-    return decoded.groupBy("media_type").agg(
-        F.count("*").alias("n_assets"),
-        F.avg("width").alias("avg_width"),
-        F.sum("n_frames").alias("total_frames"),
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.avg("width").alias("avg_width"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+        )
+        .orderBy("media_type")
     )
 
 
@@ -699,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_recall": q_dedup_simhash_recall,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1042,6 +1103,44 @@ def oracle_sql() -> dict[str, str]:
         # is the constant the gate asserts
         "ann_lsh_recall": "SELECT 'lsh' AS method, true AS recall_ok",
         "ann_ivf_recall": "SELECT 'ivf' AS method, true AS recall_ok",
+        # simhash self-certifies the same way: the query measures recall of
+        # the chunk-blocked join vs brute-force Hamming and returns the
+        # pass row (pigeonhole makes 4x16 blocking exact at hamming<=3)
+        "dedup_simhash_recall": "SELECT 'simhash' AS method, true AS recall_ok",
+        # pure-SQL twin of the Arrow decode stub: payload =
+        # unhex(repeat(sha256(media_ref), 4)), fake decode keys on
+        # md5(hex(payload)) = md5(repeat(sha256(media_ref), 4)); h0/h1 are
+        # the digest's first two bytes (multimodal.py _fake_decode)
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 2 THEN 'audio' WHEN 3 THEN 'video' ELSE 'image'
+                END AS media_type,
+                md5(repeat(sha256(concat('media://', doc_id, '.',
+                    list_extract(['png','jpg','mp3','mp4','gif'],
+                                 CAST(doc_id % 5 AS INT) + 1))), 4)) AS h
+              FROM documents
+            ),
+            d AS (
+              SELECT media_type,
+                     CAST(concat('0x', substr(h, 1, 2)) AS INT) AS h0
+              FROM m
+            )
+            SELECT media_type,
+                   CAST(count(*) AS BIGINT) AS n_assets,
+                   avg(CASE media_type
+                         WHEN 'image' THEN 64 + h0
+                         WHEN 'audio' THEN 0
+                         ELSE 320 END) AS avg_width,
+                   CAST(sum(CASE media_type
+                              WHEN 'image' THEN 1
+                              WHEN 'audio' THEN 0
+                              ELSE 24 + h0 END) AS BIGINT) AS total_frames
+            FROM d
+            GROUP BY media_type
+            ORDER BY media_type
+        """,
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -86,6 +86,12 @@ def backoff_seconds(retries_col):
 # itself and the range-shuffle path wins
 SMALL_BUDGET_MAX = 2048
 
+# steady-state crawls reuse the histogram scheduler's per-host priority
+# bounds across generations (skipping its per-host stats job); every this
+# many generations the hints are dropped and re-derived — stale hints stay
+# EXACT, they only unbalance the bins as the priority range drifts
+HINT_REFRESH_GENS = 16
+
 
 def politeness_schedule(
     pending: DataFrame,
@@ -223,6 +229,21 @@ def _schedule_partial_topk(
 # strategy for that bin (window funnel guard — one task sorts the bin)
 HIST_BOUNDARY_CAP = 262_144
 HIST_N_BINS = 4096
+# above this many hosts the histogram scheduler stops embedding per-host
+# parameters as create_map literals (O(hosts) plan size) and broadcast-joins
+# a tiny host-params DataFrame instead — same classification expression,
+# bounded plan at unbounded host cardinality
+HIST_MAP_MAX_HOSTS = 512
+
+
+def _host_subset(df: DataFrame, hosts) -> DataFrame:
+    """Host-membership filter with a bounded plan: a literal isin for small
+    host lists, a broadcast semi-join above HIST_MAP_MAX_HOSTS."""
+    hosts = list(hosts)
+    if len(hosts) <= HIST_MAP_MAX_HOSTS:
+        return df.where(F.col("host").isin(hosts))
+    hdf = df.sparkSession.createDataFrame([(hh,) for hh in hosts], "host string")
+    return df.join(F.broadcast(hdf), "host", "left_semi")
 
 
 def histogram_bin_expr(
@@ -325,17 +346,53 @@ def _schedule_histogram_topk(
         take_all, take_all_n, need = [], {}, None
         bounds = dict(hist_hints)
 
-    # per-host uniform bin expression (shared by the histogram job and the
+    # per-host uniform bin assignment (shared by the histogram job and the
     # final plan). NULL priorities sort last under DESC in every strategy;
     # coalescing to the host minimum puts them in bin 0 where the boundary
     # window's (priority DESC NULLS LAST, url) order handles them exactly.
+    # Host-cardinality guard: a handful of hosts embeds the params as
+    # create_map literals (no join in the plan at all); above
+    # HIST_MAP_MAX_HOSTS the same classification runs off a broadcast-joined
+    # host-params frame so the plan stays bounded at unbounded cardinality.
     h = F.col("host")
-    bin_expr = histogram_bin_expr(bounds, n_bins)
+    spark = pending.sparkSession
+    many_hosts = len(bounds) > HIST_MAP_MAX_HOSTS
+    if many_hosts:
+        params = spark.createDataFrame(
+            [
+                (hh, mn, max((mx - mn) / n_bins, 1e-12))
+                for hh, (mn, mx) in bounds.items()
+            ],
+            "host string, _mn double, _width double",
+        )
 
-    hist_src = pending if need is None else pending.where(
-        h.isin([r["host"] for r in need])
+        def with_bin(df: DataFrame) -> DataFrame:
+            j = df.join(F.broadcast(params), "host", "left")
+            return j.withColumn(
+                "_bin",
+                F.when(F.col("_mn").isNull(), F.lit(None))
+                .otherwise(
+                    F.least(
+                        F.floor(
+                            (F.coalesce(F.col("priority"), F.col("_mn")) - F.col("_mn"))
+                            / F.col("_width")
+                        ),
+                        F.lit(n_bins - 1),
+                    )
+                )
+                .cast("int"),
+            ).drop("_mn", "_width")
+
+    else:
+        _bexpr = histogram_bin_expr(bounds, n_bins)
+
+        def with_bin(df: DataFrame) -> DataFrame:
+            return df.withColumn("_bin", _bexpr)
+
+    hist_src = pending if need is None else _host_subset(
+        pending, [r["host"] for r in need]
     )
-    hist = hist_src.groupBy("host", bin_expr.alias("_bin")).count().collect()
+    hist = with_bin(hist_src).groupBy("host", "_bin").count().collect()
     by_host: dict[str, dict[int, int]] = {}
     unknown: dict[str, int] = {}  # hosts absent from the hints (null bins)
     for r in hist:
@@ -366,41 +423,79 @@ def _schedule_histogram_topk(
         boundary_n[hh] = by_host[hh][B]
         n_definite += cum
 
-    # hints path with every pending row on an unknown host: need_hosts is
-    # empty and an empty create_map() would fail analysis — gate the branch
-    thr_map = (
-        F.create_map(*[F.lit(x) for hh, B in thr_bin.items() for x in (hh, B)])
-        if thr_bin
-        else None
-    )
-    definite = pending.where(
-        h.isin(take_all) if take_all else F.lit(False)
-    ).unionByName(
-        pending.where(h.isin(need_hosts) & (bin_expr > thr_map[h]))
-        if need_hosts
-        else pending.where(F.lit(False))
-    )
+    # ---- ONE pending scan materializes every candidate row ----------------
+    # cand = take_all hosts' rows ∪ {bin >= B} of need hosts — definite AND
+    # boundary together. The 10^10-row pending set is scanned ONCE; the
+    # O(budget) candidate set is checkpointed, and definite/boundary are
+    # carved out of the checkpointed rows without touching pending again
+    # (the previous shape re-scanned pending for each of take_all, definite
+    # and boundary — 3 full scans per generation). Per-row params travel as
+    # _thr/_rem columns: literal maps for a handful of hosts, the broadcast
+    # params frame above the cardinality guard.
+    if many_hosts:
+        pdf = spark.createDataFrame(
+            [
+                (hh, thr_bin.get(hh), remaining.get(hh))
+                for hh in (*need_hosts, *take_all)
+            ],
+            "host string, _thr int, _rem long",
+        )
+        cand = (
+            with_bin(pending)
+            .join(F.broadcast(pdf), "host", "inner")
+            .where(F.col("_thr").isNull() | (F.col("_bin") >= F.col("_thr")))
+        )
+    else:
+        preds = []
+        if take_all:
+            preds.append(h.isin(take_all))
+        if need_hosts:
+            thr_map = F.create_map(
+                *[F.lit(x) for hh, B in thr_bin.items() for x in (hh, B)]
+            )
+            preds.append(h.isin(need_hosts) & (F.col("_bin") >= thr_map[h]))
+        pred = F.lit(False)
+        for p in preds:
+            pred = pred | p
+        cand = with_bin(pending).where(pred)
+        cand = cand.withColumn(
+            "_thr", thr_map[h] if need_hosts else F.lit(None).cast("int")
+        ).withColumn(
+            "_rem",
+            F.create_map(
+                *[F.lit(x) for hh in need_hosts for x in (hh, remaining[hh])]
+            )[h].cast("long")
+            if need_hosts
+            else F.lit(None).cast("long"),
+        )
+    cand = cand.localCheckpoint(eager=True)
+
+    helper_cols = ["_bin", "_thr", "_rem"]
+    # take_all hosts carry a null _thr (absent from thr_bin) — every one of
+    # their rows is a definite winner
+    definite = cand.where(
+        F.col("_thr").isNull() | (F.col("_bin") > F.col("_thr"))
+    ).drop(*helper_cols)
 
     # the boundary bins: exact top-(remaining) per host. Tiny by
     # construction (~count/n_bins rows per host); hosts whose boundary bin
     # degenerated (massively duplicated priorities) go through the
-    # range strategy instead of a single-task window.
+    # range strategy instead of a single-task window. Both carve from the
+    # checkpointed candidates — never from pending.
+    bdry_all = cand.where(F.col("_bin") == F.col("_thr"))
     small_hosts = [hh for hh in need_hosts if boundary_n[hh] <= HIST_BOUNDARY_CAP]
     big_hosts = [hh for hh in need_hosts if boundary_n[hh] > HIST_BOUNDARY_CAP]
     parts = [definite]
     if small_hosts:
-        bdry = pending.where(h.isin(small_hosts) & (bin_expr == thr_map[h]))
+        bdry = bdry_all if not big_hosts else _host_subset(bdry_all, small_hosts)
         w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
-        rem_map = F.create_map(
-            *[F.lit(x) for hh in small_hosts for x in (hh, remaining[hh])]
-        )
         parts.append(
             bdry.withColumn("_hrank", F.row_number().over(w))
-            .where(F.col("_hrank") <= rem_map[h])
-            .drop("_hrank")
+            .where(F.col("_hrank") <= F.col("_rem"))
+            .drop("_hrank", *helper_cols)
         )
     if big_hosts:
-        bdry_big = pending.where(h.isin(big_hosts) & (bin_expr == thr_map[h]))
+        bdry_big = _host_subset(bdry_all, big_hosts).drop(*helper_cols)
         parts.append(
             _schedule_range_topk(
                 bdry_big,
@@ -416,7 +511,7 @@ def _schedule_histogram_topk(
         # hosts the hints didn't cover: schedule them through the
         # stats-first path on their (tiny) subset
         sub = _schedule_histogram_topk(
-            pending.where(h.isin(sorted(unknown))),
+            _host_subset(pending, sorted(unknown)),
             budgets,
             default_budget,
             budget_multiplier,
@@ -490,18 +585,27 @@ def _schedule_range_topk(
             return pending.limit(0)
         off_df = spark.createDataFrame(offsets, "_pid int, host string, _off long")
         # 3. exact rank on the surviving prefix partitions only; materialize
-        #    the O(budget) winner set so the O(pending) persist can be freed
+        #    the O(budget) winner set so the O(pending) persist can be freed.
+        #    Host-cardinality guard: large per-host budget tables ride the
+        #    (already broadcast) offsets frame instead of a literal map.
         w = Window.partitionBy("_pid", "host").orderBy(F.desc("priority"), F.asc("url"))
-        return (
-            ranged.join(F.broadcast(off_df), ["_pid", "host"])
-            .withColumn("_grank", F.row_number().over(w) + F.col("_off"))
-            .where(
+        ranked = ranged.join(F.broadcast(off_df), ["_pid", "host"]).withColumn(
+            "_grank", F.row_number().over(w) + F.col("_off")
+        )
+        if len(budgets) > HIST_MAP_MAX_HOSTS:
+            bdf = spark.createDataFrame(
+                list(budgets.items()), "host string, _hb long"
+            )
+            ranked = ranked.join(F.broadcast(bdf), "host", "left").where(
+                F.col("_grank")
+                <= F.coalesce(F.col("_hb"), F.lit(default_budget)) * budget_multiplier
+            ).drop("_hb")
+        else:
+            ranked = ranked.where(
                 F.col("_grank")
                 <= _budget_col(budgets, default_budget, budget_multiplier)
             )
-            .drop("_pid", "_off", "_grank")
-            .localCheckpoint(eager=True)
-        )
+        return ranked.drop("_pid", "_off", "_grank").localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
 
@@ -724,6 +828,12 @@ class Crawl:
         # class). O(hosts) driver state, persisted with the crawl state so a
         # resume honours an in-flight pause.
         self.host_pauses: dict[str, float] = {}
+        # per-host priority bounds reused across generations by the
+        # histogram scheduler (skips its per-host stats job on every tick
+        # after the first); persisted in CrawlState, refreshed every
+        # HINT_REFRESH_GENS generations to bound staleness-driven bin
+        # imbalance (stale hints stay EXACT — they only degrade bin balance)
+        self.hist_hints: dict[str, tuple[float, float]] = {}
         self._hits_ranked = rank_jsdelivr_hits(universe["jsdelivr_hits"]).cache()
 
     # -- seeding -------------------------------------------------------------
@@ -772,6 +882,10 @@ class Crawl:
         if st is None:
             return CrawlState()
         self.host_pauses = dict(st.host_pauses)
+        # JSON round-trips the (min, max) tuples as lists — normalize back
+        self.hist_hints = {
+            h: (float(v[0]), float(v[1])) for h, v in (st.hist_hints or {}).items()
+        }
         snaps = st.snapshots
         self.frontier.rollback(snaps.get("frontier") or None)
         self.packages.rollback(snaps.get("packages") or None)
@@ -883,6 +997,7 @@ class Crawl:
                 snapshots=self._snapshots(),
                 metrics={"op": "finalize_bootstrap"},
                 host_pauses=dict(self.host_pauses),
+                hist_hints={h: list(b) for h, b in self.hist_hints.items()},
             )
         )
         return prod
@@ -926,9 +1041,21 @@ class Crawl:
         self.host_pauses = {h: t for h, t in self.host_pauses.items() if t > now_s}
         if self.host_pauses:
             pending = pending.where(~F.col("host").isin(list(self.host_pauses)))
+        # steady-state hint reuse (histogram strategy only): the previous
+        # generation's per-host priority bounds skip the scheduler's
+        # per-host stats job; dropped every HINT_REFRESH_GENS generations so
+        # priority drift can't unbalance the bins forever (exactness does
+        # not depend on freshness — see _schedule_histogram_topk)
+        hints = self.hist_hints or None
+        if generation % HINT_REFRESH_GENS == 0:
+            hints = None
         sched_raw = politeness_schedule(
-            pending, self.budgets, budget_multiplier=self.budget_multiplier
+            pending, self.budgets, budget_multiplier=self.budget_multiplier,
+            hist_hints=hints,
         )
+        new_hints = getattr(sched_raw, "hist_hints", None)
+        if new_hints:
+            self.hist_hints = dict(new_hints)
         # robots.txt: disallowed URLs are terminal, never fetched. Flagging
         # (instead of splitting) lets one aggregation produce both the
         # scheduled and the blocked counts — per-generation driver actions
@@ -1355,6 +1482,7 @@ class Crawl:
                     snapshots=self._snapshots(),
                     metrics=m,
                     host_pauses=dict(self.host_pauses),
+                    hist_hints={h: list(b) for h, b in self.hist_hints.items()},
                 )
             )
             if m["scheduled"] == 0:

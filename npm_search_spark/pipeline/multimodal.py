@@ -82,7 +82,11 @@ def _decode_image_real(payload: bytes):
 
 
 def _fake_decode(payload: bytes, media_type: str) -> dict:
-    h = hashlib.md5(payload or b"").digest()
+    # deterministic fake keyed on the payload's hex form: md5(hex(payload))
+    # is expressible in ANSI SQL (DuckDB md5 takes VARCHAR, not BLOB), so
+    # the decode query carries a real oracle twin while the UDF still
+    # consumes the binary column through Arrow
+    h = hashlib.md5((payload or b"").hex().encode()).digest()
     if media_type == "image":
         return {"width": 64 + h[0], "height": 64 + h[1], "channels": 3, "n_frames": 1, "duration_s": 0.0}
     if media_type == "audio":
@@ -114,7 +118,8 @@ def decode_media(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
                     m = _fake_decode(payload, mtype)
                 metas.append(m)
                 # deterministic 8-dim "feature": bytes of md5, scaled
-                h = hashlib.md5(payload or b"").digest()
+                # (same hex-form basis as _fake_decode)
+                h = hashlib.md5((payload or b"").hex().encode()).digest()
                 feats.append((np.frombuffer(h[:8], dtype=np.uint8) / 255.0).astype("float32"))
             out = pd.DataFrame(
                 {

@@ -28,6 +28,11 @@ class CrawlState:
     snapshots: dict[str, int] = field(default_factory=dict)  # table -> snapshot id
     metrics: dict[str, Any] = field(default_factory=dict)
     host_pauses: dict[str, float] = field(default_factory=dict)  # 429 pauses (T5)
+    # per-host (priority_min, priority_max) carried across generations so a
+    # steady-state crawl skips the histogram scheduler's per-host stats job
+    # (stale bounds stay exact — see _schedule_histogram_topk); JSON turns
+    # the tuples into lists, Crawl.resume() normalizes them back
+    hist_hints: dict[str, Any] = field(default_factory=dict)
 
 
 class StateStore:

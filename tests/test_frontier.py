@@ -91,6 +91,100 @@ class TestPolitenessSchedule:
         # hist_hints so the next tick schedules it on the fast path
         assert sched.hist_hints.get("h1.org") == (11.0, 50.0)
 
+    def test_hints_skip_stats_job_and_schedule_identically(self, spark):
+        """Steady-state contract (the engine loop's hint reuse): scheduling
+        with carried-over bounds runs EXACTLY one fewer Spark job (the
+        per-host stats scan is skipped) and produces the identical winner
+        set."""
+        rows = [
+            (f"https://h0.org/p{i:04d}", "h0.org", float((i * 7) % 997))
+            for i in range(3000)
+        ] + [
+            (f"https://h1.org/q{i:04d}", "h1.org", float((i * 13) % 991))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, host string, priority double"
+        ).cache()
+        df.count()
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+
+        def run(group, hints):
+            sc.setJobGroup(group, group)
+            try:
+                sched = politeness_schedule(
+                    df, {}, default_budget=40, strategy="histogram",
+                    hist_hints=hints,
+                )
+                urls = sorted(r["url"] for r in sched.collect())
+            finally:
+                sc.setJobGroup(None, None)
+            return urls, sched.hist_hints, len(tracker.getJobIdsForGroup(group))
+
+        cold_urls, bounds, cold_jobs = run("hints-cold", None)
+        warm_urls, _, warm_jobs = run("hints-warm", bounds)
+        assert warm_urls == cold_urls
+        # the stats scan is gone — under AQE its agg-collect is two Spark
+        # jobs (shuffle-map + result), so the warm path runs exactly two
+        # fewer; everything downstream (histogram job, boundary window,
+        # winner checkpoint) is identical
+        assert cold_jobs - warm_jobs == 2
+        assert warm_jobs < cold_jobs
+        df.unpersist()
+
+    def test_histogram_exact_at_10k_hosts(self, spark, monkeypatch):
+        """Host-cardinality guard: above HIST_MAP_MAX_HOSTS the histogram
+        scheduler must not embed per-host literals (create_map of 10k
+        entries) in the plan — it broadcast-joins a host-params frame — and
+        must stay exact, including on the hints path."""
+        from pyspark.sql import Window
+
+        n_hosts, per = 10_000, 6
+        df = spark.range(n_hosts * per).select(
+            F.concat(
+                F.lit("h"), (F.col("id") % n_hosts).cast("string"), F.lit(".org")
+            ).alias("host"),
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("double").alias("priority"),
+            F.concat(F.lit("https://x/"), F.col("id")).alias("url"),
+        ).select("url", "host", "priority").cache()
+        df.count()
+
+        # literal-map construction must never run at this cardinality
+        def no_literals(bounds, n_bins=FR.HIST_N_BINS):
+            assert len(bounds) <= FR.HIST_MAP_MAX_HOSTS, (
+                f"literal host-params map built for {len(bounds)} hosts"
+            )
+            return real_bin_expr(bounds, n_bins)
+
+        real_bin_expr = FR.histogram_bin_expr
+        monkeypatch.setattr(FR, "histogram_bin_expr", no_literals)
+
+        budget = 3
+        w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+        expected = {
+            r["url"]
+            for r in df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= budget)
+            .select("url")
+            .collect()
+        }
+        sched = politeness_schedule(
+            df, {}, default_budget=budget, strategy="histogram"
+        )
+        got = {r["url"] for r in sched.collect()}
+        assert got == expected
+        assert sched.scheduled_count == len(expected)
+        assert len(sched.hist_hints) == n_hosts
+
+        # hints path at the same cardinality: identical winners, no stats job
+        warm = politeness_schedule(
+            df, {}, default_budget=budget, strategy="histogram",
+            hist_hints=sched.hist_hints,
+        )
+        assert {r["url"] for r in warm.collect()} == expected
+        df.unpersist()
+
     def test_deterministic(self, spark):
         rows = [(f"https://h/{i}", "h", 1.0) for i in range(100)]
         df = spark.createDataFrame(rows, "url string, host string, priority double")
@@ -203,6 +297,48 @@ class TestBootstrap:
         sa = {r["url"] for r in a.seen.table.read(spark).select("url").collect()}
         sb = {r["url"] for r in b2.seen.table.read(spark).select("url").collect()}
         assert sa == sb
+
+
+class TestSteadyStateHints:
+    def test_generation_loop_carries_hints(self, spark, universe, tmp_path, monkeypatch):
+        """The engine loop (not just bench.py) reuses the histogram
+        scheduler's per-host bounds across generations: generation 1 runs
+        stats-first (hints=None), every later generation passes the carried
+        bounds, and the bounds survive a checkpoint/resume round-trip."""
+        seen_hints: list[dict | None] = []
+        real = FR._schedule_histogram_topk
+
+        def spy(*args, **kwargs):
+            seen_hints.append(kwargs.get("hist_hints"))
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(FR, "_schedule_histogram_topk", spy)
+        c = Crawl(
+            spark, str(tmp_path / "hints"), universe, 10_000_000,
+            # max budget 20 * 128 = 2560 > SMALL_BUDGET_MAX -> auto picks the
+            # histogram strategy, the regime the hints exist for
+            budget_multiplier=128,
+            backoff_scale=0.02, transient_modulus=0, throttle_modulus=0,
+        )
+        c.seed(universe["raw_docs"].select("doc_id"))
+        c.run_bootstrap(max_generations=3, log=None)
+        assert len(seen_hints) >= 2
+        assert seen_hints[0] is None  # gen 1: stats-first
+        assert seen_hints[1]  # gen 2+: bounds carried, stats job skipped
+        assert "registry.npmjs.org" in seen_hints[1]
+        assert c.hist_hints  # engine state carries the latest bounds
+
+        # persisted with the crawl state; resume() restores tuples
+        c2 = Crawl(
+            spark, str(tmp_path / "hints"), universe, 10_000_000,
+            budget_multiplier=128, backoff_scale=0.02,
+            transient_modulus=0, throttle_modulus=0,
+        )
+        st = c2.resume()
+        assert st.hist_hints
+        assert c2.hist_hints == {
+            h: (float(v[0]), float(v[1])) for h, v in st.hist_hints.items()
+        }
 
 
 class TestRetryClasses:
