@@ -937,15 +937,81 @@ class Crawl:
         ],
     }
 
+    # Replica-index analogue (reference README.md:69 — the index is served
+    # "x4"; Algolia replicas share the primary's records and differ only in
+    # ranking, https://www.algolia.com/doc replicas model). Each replica is
+    # a manifest-level commit pointing at the SAME immutable data files with
+    # its own declared custom ranking — O(1) data movement per replica,
+    # exactly like Algolia's server-side replica sync.
+    REPLICA_SETTINGS = {
+        "by_downloads": ["desc(downloadsLast30Days)"],
+        "by_jsdelivr": ["desc(jsDelivrHits)"],
+        "by_dependents": ["desc(dependents)"],
+        "by_recently_updated": ["desc(modified)"],
+    }
+
+    def promote_replicas(
+        self,
+        prod: SnapTable,
+        apply_ranking_layout: bool = False,
+        replicas: dict[str, list[str]] | None = None,
+    ) -> dict[str, SnapTable]:
+        """Create/refresh one alternative-ranking replica table per entry in
+        ``replicas`` (default REPLICA_SETTINGS), each sharing prod's data
+        files. ``apply_ranking_layout=True`` additionally rewrites each
+        replica clustered by its own ranking order so ranked top-k reads
+        prune to the head files (the physical analogue of a replica's
+        customRanking); the default manifest-only promote moves no data."""
+        replicas = self.REPLICA_SETTINGS if replicas is None else replicas
+        snap = prod.snapshot()
+        out: dict[str, SnapTable] = {}
+        for name, ranking in replicas.items():
+            settings = dict(self.INDEX_SETTINGS)
+            settings["custom_ranking"] = ranking
+            rep = SnapTable(
+                f"{prod.root}__{name}",
+                FINAL_PACKAGE,
+                stats_cols=[s[5:-1] if s.startswith("desc(") else s[4:-1] for s in ranking],
+            )
+            rep._commit(
+                "promote-replica",
+                snap.files if snap else [],
+                {
+                    "from": prod.root,
+                    "src_snapshot": snap.snapshot_id if snap else None,
+                    "replica": name,
+                    "index_settings": settings,
+                },
+                file_stats=(snap.file_stats or {}) if snap else {},
+            )
+            if apply_ranking_layout and snap and snap.files:
+                rank_cols = [
+                    F.desc(s[5:-1]) if s.startswith("desc(") else F.asc(s[4:-1])
+                    for s in ranking
+                ]
+                ranked = (
+                    rep.read(self.spark)
+                    .repartitionByRange(*rank_cols)
+                    .sortWithinPartitions(*rank_cols)
+                )
+                rep.overwrite(
+                    ranked,
+                    meta={"op": "ranking-layout", "index_settings": settings},
+                )
+            out[name] = rep
+        return out
+
     def finalize_bootstrap(
         self,
         prod_root: str | None = None,
         now_ms: int | None = None,
         apply_ranking_layout: bool = False,
+        with_replicas: bool = False,
     ) -> SnapTable:
         """Promote the bootstrap output to the production table and mark the
         stage ``watch`` (reference copies the bootstrap index over prod and
-        deletes it, src/bootstrap.ts:167-200).
+        deletes it, src/bootstrap.ts:167-200). ``with_replicas=True`` also
+        promotes the alternative-ranking replica tables (REPLICA_SETTINGS).
 
         SnapTable data files are immutable, so the promote is a manifest
         commit pointing at the same files — O(1) data movement, the exact
@@ -985,6 +1051,8 @@ class Crawl:
             prod.overwrite(
                 ranked, meta={"op": "ranking-layout", "index_settings": self.INDEX_SETTINGS}
             )
+        if with_replicas:
+            self.promote_replicas(prod, apply_ranking_layout=apply_ranking_layout)
         st = self.state.load() or CrawlState()
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         self.state.save(
@@ -1025,7 +1093,13 @@ class Crawl:
 
     # -- one generation ----------------------------------------------------------
 
-    def run_generation(self, generation: int) -> dict[str, Any]:
+    def run_generation(
+        self, generation: int, budgets_override: dict[str, int] | None = None
+    ) -> dict[str, Any]:
+        """One drain generation. ``budgets_override``: absolute per-host
+        budgets for THIS generation (multiplier 1) — watch mode passes the
+        remaining per-trigger-window ledger so a multi-generation
+        micro-batch never admits more than rate x trigger per host."""
         spark = self.spark
         metrics: dict[str, Any] = {"generation": generation}
         t0 = time.time()
@@ -1049,10 +1123,25 @@ class Crawl:
         hints = self.hist_hints or None
         if generation % HINT_REFRESH_GENS == 0:
             hints = None
-        sched_raw = politeness_schedule(
-            pending, self.budgets, budget_multiplier=self.budget_multiplier,
-            hist_hints=hints,
-        )
+        if budgets_override is not None:
+            # ledger mode: hosts with an exhausted window budget are not
+            # even scanned; the rest get their absolute remaining budget
+            live = {hh: b for hh, b in budgets_override.items() if b > 0}
+            if not live:
+                metrics["scheduled"] = 0
+                metrics["robots_blocked"] = 0
+                metrics["scheduled_by_host"] = {}
+                return metrics
+            pending = _host_subset(pending, sorted(live))
+            sched_raw = politeness_schedule(
+                pending, live, default_budget=0, budget_multiplier=1,
+                hist_hints=hints,
+            )
+        else:
+            sched_raw = politeness_schedule(
+                pending, self.budgets, budget_multiplier=self.budget_multiplier,
+                hist_hints=hints,
+            )
         new_hints = getattr(sched_raw, "hist_hints", None)
         if new_hints:
             self.hist_hints = dict(new_hints)
@@ -1072,6 +1161,7 @@ class Crawl:
             # generations until the earliest next_attempt_at matures
             metrics["scheduled"] = 0
             metrics["robots_blocked"] = 0
+            metrics["scheduled_by_host"] = {}
             flagged.unpersist()
             return metrics
         scheduled = flagged.drop("_blocked")
@@ -1142,7 +1232,7 @@ class Crawl:
             flagged.select(
                 F.lit("sched").alias("_leg"),
                 F.col("_blocked").cast("string").alias("_k1"),
-                _null.alias("_k2"),
+                F.col("host").alias("_k2"),
             )
             .unionByName(
                 fresh.where(F.col("kind") != "registry_doc").select(
@@ -1162,9 +1252,11 @@ class Crawl:
         cnt: dict[bool, int] = {}
         kc: dict[str, int] = {}
         sc: dict[str, int] = {}
+        sched_by_host: dict[str, int] = {}
         for r in legs.groupBy("_leg", "_k1", "_k2").count().collect():
             if r["_leg"] == "sched":
                 cnt[r["_k1"] == "true"] = cnt.get(r["_k1"] == "true", 0) + r["count"]
+                sched_by_host[r["_k2"]] = sched_by_host.get(r["_k2"], 0) + r["count"]
             elif r["_leg"] == "fresh":
                 kc[r["_k1"]] = kc.get(r["_k1"], 0) + r["count"]
             else:
@@ -1179,6 +1271,7 @@ class Crawl:
         n_scheduled = sum(cnt.values())
         metrics["scheduled"] = n_scheduled
         metrics["robots_blocked"] = cnt.get(True, 0)
+        metrics["scheduled_by_host"] = sched_by_host
         if n_scheduled == 0:
             for df in (flagged, fresh, reg_fetched):
                 df.unpersist()

@@ -95,12 +95,20 @@ class Watch:
         generations_per_batch: int = 6,
         dims_refresh_secs: float = 3600.0,
         seen_compact_files: int = 512,
+        trigger_budget_secs: float | None = None,
     ):
         self.crawl = crawl
         self.changes_dir = changes_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.generations_per_batch = generations_per_batch
+        # politeness at trigger granularity: when set, a micro-batch's
+        # generations draw from ONE per-host ledger of rate x this window
+        # (the streaming twin of the bootstrap's per-generation budget) —
+        # however many generations the batch runs, per-host admission never
+        # exceeds the window budget. None = uncapped (tests/backfill).
+        # run_continuous fills it with the poll interval by default.
+        self.trigger_budget_secs = trigger_budget_secs
         # maintenance: once incremental seen-set appends accumulate this
         # many data files, rewrite them as one (bucket, key)-clustered set
         # so lookup pruning stays tight over a long watch run
@@ -155,9 +163,23 @@ class Watch:
                 fresh_rows.select(*[f.name for f in FRONTIER.fields]),
                 meta={"op": "watch-enqueue", "batch": batch_id},
             )
+            # per-trigger-window politeness ledger: every generation draws
+            # its absolute per-host budget from the remaining window budget,
+            # so admission per host per batch <= rate x trigger — the
+            # token-bucket invariant at trigger granularity (the
+            # sub-trigger pacing operator is streaming/ratelimit.py)
+            ledger: dict[str, int] | None = None
+            if self.trigger_budget_secs is not None:
+                ledger = {
+                    h: int(rate * self.trigger_budget_secs)
+                    for h, rate in crawl.budgets.items()
+                }
             for _ in range(self.generations_per_batch):
                 self._generation += 1
-                m = crawl.run_generation(self._generation)
+                m = crawl.run_generation(self._generation, budgets_override=ledger)
+                if ledger is not None:
+                    for h, n in m.get("scheduled_by_host", {}).items():
+                        ledger[h] = ledger.get(h, 0) - n
                 if m["scheduled"] == 0:
                     break
 
@@ -246,7 +268,13 @@ class Watch:
         costs nothing. Errors restart from the streaming checkpoint with
         exponential backoff (``max_restarts=None`` retries forever, the
         production default). ``await_termination=False`` returns the
-        running query for the caller to manage."""
+        running query for the caller to manage. Unless the caller already
+        pinned ``trigger_budget_secs``, the per-batch politeness ledger is
+        sized to this poll interval — production watch admission is
+        rate x poll window per host, however many drain generations a
+        batch runs."""
+        if self.trigger_budget_secs is None:
+            self.trigger_budget_secs = poll_interval_secs
         make = lambda: self._start(  # noqa: E731
             processingTime=f"{poll_interval_secs} seconds"
         )

@@ -518,6 +518,39 @@ class TestBootstrapLifecycle:
                 b == bands[0] for b in bands
             )
 
+    def test_replica_promotion_shares_files_and_rankings(self, spark, universe, tmp_path):
+        """Replica analogue (reference README.md:69 — the index is served
+        x4): each alternative-ranking replica is a manifest commit over
+        prod's immutable files (zero data movement) carrying its own
+        custom_ranking; the optional layout pass re-clusters a replica by
+        its own order."""
+        c = Crawl(spark, str(tmp_path / "r"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=0)
+        c.seed(universe["raw_docs"].select("doc_id"))
+        c.run_bootstrap(max_generations=60, log=None)
+        prod = c.finalize_bootstrap(now_ms=1_755_000_000_000, with_replicas=True)
+        n = prod.read(spark).count()
+        from npm_search_spark.tables import SnapTable
+        from npm_search_spark.schema import FINAL_PACKAGE
+
+        for name, ranking in Crawl.REPLICA_SETTINGS.items():
+            rep = SnapTable(f"{prod.root}__{name}", FINAL_PACKAGE)
+            snap = rep.snapshot()
+            assert snap.files == prod.snapshot().files  # shared, O(1) promote
+            assert snap.meta["index_settings"]["custom_ranking"] == ranking
+            assert rep.read(spark).count() == n
+        # layout pass clusters a replica by its own ranking
+        reps = c.promote_replicas(
+            prod, apply_ranking_layout=True,
+            replicas={"by_downloads": ["desc(downloadsLast30Days)"]},
+        )
+        rep = reps["by_downloads"]
+        assert rep.snapshot().meta.get("op") == "ranking-layout"
+        assert rep.read(spark).count() == n
+        ids_prod = {r["objectID"] for r in prod.read(spark).select("objectID").collect()}
+        ids_rep = {r["objectID"] for r in rep.read(spark).select("objectID").collect()}
+        assert ids_rep == ids_prod
+
     def test_refresh_dims_picks_up_universe_changes(self, spark, universe, tmp_path):
         c = Crawl(spark, str(tmp_path / "d"), universe, 10_000_000)
         old = c._hits_ranked

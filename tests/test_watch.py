@@ -131,6 +131,49 @@ def test_watch_applies_changes(spark, universe, bootstrapped, tmp_path):
     assert c.state.load().seq == 104
 
 
+def test_trigger_budget_caps_admission(spark, universe, bootstrapped, tmp_path):
+    """Watch-mode politeness (T7 at trigger granularity): with a
+    trigger-window budget set, a micro-batch's drain generations draw from
+    ONE per-host ledger — a hot host with 30 pending changes and a
+    6 req/s budget over a 2 s window admits at most 12 fetches per batch,
+    however many generations the batch runs; the rest stay pending for the
+    next poll."""
+    c = bootstrapped
+    pkgs = [r["objectID"] for r in c.packages.read(spark).select("objectID").collect()]
+    changes_dir = str(tmp_path / "ch-budget")
+    os.makedirs(changes_dir)
+    rows = [(200 + i, p, False, f"rev-b{i}") for i, p in enumerate(pkgs)]
+    spark.createDataFrame(rows, CHANGES).coalesce(1).write.mode("append").parquet(
+        changes_dir
+    )
+
+    window = 2.0  # registry budget 6 req/s -> 12 admissions per batch
+    cap = int(c.budgets["registry.npmjs.org"] * window)
+    assert len(rows) > cap
+    w = Watch(
+        c, changes_dir, str(tmp_path / "ckpt-budget"),
+        generations_per_batch=8, trigger_budget_secs=window,
+    )
+    w.run_available_now()
+
+    fr = c.frontier.read(spark)
+    change_rows = fr.where(F.col("url").contains("_seq=2"))
+    processed = change_rows.where(F.col("state") != "pending").count()
+    still_pending = change_rows.where(F.col("state") == "pending").count()
+    assert 0 < processed <= cap
+    assert still_pending >= len(rows) - cap
+    # the next poll window drains another ledger's worth
+    Watch(
+        c, changes_dir, str(tmp_path / "ckpt-budget2"),
+        generations_per_batch=8, trigger_budget_secs=window,
+    ).run_available_now()
+    fr2 = c.frontier.read(spark)
+    processed2 = fr2.where(
+        F.col("url").contains("_seq=2") & (F.col("state") != "pending")
+    ).count()
+    assert processed < processed2 <= 2 * cap
+
+
 def test_empty_poll_runs_no_generations(spark, universe, bootstrapped, tmp_path):
     """ChangesReader pacing (reference src/npm/ChangesReader.ts:77-84): an
     idle feed must not spin crawl generations — an empty micro-batch is a
