@@ -107,19 +107,13 @@ def task_time_sums(spark) -> dict:
         return {}
 
 
-def frontier_benchmark(
-    spark, n_urls: int, tmp_root: str, generations: int = 6, trigger_secs: int = 3600
-) -> dict:
-    """North-star: URLs scheduled+deduped/sec through the frontier
-    machinery in its realistic regime — per-generation politeness budget =
-    per-host rate x trigger window (hourly), batch-sized seen dedup,
-    incremental seen/Bloom maintenance. Measures a multi-generation drain
-    of a skewed pending set (synthetic fetch; the reference's ceiling is
-    politeness, ours is this machinery — BASELINE.md)."""
-    from pyspark import StorageLevel
+def make_preseeded_seen(spark, n_urls: int, tmp_root: str):
+    """Build the benchmark's pre-seeded URL-seen set ONCE (re-crawl
+    scenario: ~1/3 of the URL space already crawled). Returns (seen,
+    preseed_snapshot_id); later passes roll the table back to the snapshot
+    instead of rebuilding — setup cost, not measurement."""
     from pyspark.sql import functions as F
 
-    from npm_search_spark.frontier import DEFAULT_BUDGETS, politeness_schedule
     from npm_search_spark.seen import SeenSet
 
     frontier = synth_frontier(spark, n_urls)
@@ -127,10 +121,39 @@ def frontier_benchmark(
         os.path.join(tmp_root, "seen"),
         expected_keys_per_bucket=max(n_urls // 256, 1000),
     )
-    # pre-seed the seen set with ~1/3 of the URL space (re-crawl scenario)
     pre = frontier.where(F.pmod(F.xxhash64("url"), F.lit(3)) == 0).select("url")
     seen.add(spark, pre)
     seen._bloom_current(spark)  # cold build; steady state is incremental
+    return seen, seen.table.current_snapshot_id()
+
+
+def frontier_benchmark(
+    spark, n_urls: int, tmp_root: str, generations: int = 6, trigger_secs: int = 3600,
+    seen=None, seen_snapshot=None,
+) -> dict:
+    """North-star: URLs scheduled+deduped/sec through the frontier
+    machinery in its realistic regime — per-generation politeness budget =
+    per-host rate x trigger window (hourly), batch-sized seen dedup,
+    incremental seen/Bloom maintenance. Measures a multi-generation drain
+    of a skewed pending set (synthetic fetch; the reference's ceiling is
+    politeness, ours is this machinery — BASELINE.md).
+
+    ``seen``/``seen_snapshot``: a pre-seeded set shared across passes —
+    rolled back to the preseed snapshot at entry (identical starting state
+    per pass, without paying the untimed rebuild)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from npm_search_spark.frontier import DEFAULT_BUDGETS, politeness_schedule
+
+    frontier = synth_frontier(spark, n_urls)
+    if seen is None:
+        seen, seen_snapshot = make_preseeded_seen(spark, n_urls, tmp_root)
+    else:
+        seen.table.rollback(seen_snapshot)
+        seen._bloom = None
+        seen._bloom_snapshot = None
+        seen._bloom_current(spark)
 
     # the base frontier is cached ONCE; retirement is a PREDICATE, the
     # harness twin of the engine's in-place MERGE state flip. The histogram
@@ -312,13 +335,16 @@ def main() -> int:
         # excluded from the best-of (ADVICE r2: don't let warm passes
         # masquerade as the headline while the first pass eats warmup)
         n_passes = max(args.drain_passes, 1)
+        # the pre-seeded seen set is built ONCE and rolled back to its
+        # preseed snapshot per pass — identical starting state without
+        # paying the (untimed but wall-clock-heavy) rebuild every pass
+        seen, seen_snap = make_preseeded_seen(spark, args.n_urls, tmp)
         for i in range(n_passes + (1 if n_passes > 1 else 0)):
-            pass_tmp = tempfile.mkdtemp(prefix="bench-frontier-", dir=tmp)
             r = frontier_benchmark(
-                spark, args.n_urls, pass_tmp,
+                spark, args.n_urls, tmp,
                 generations=args.generations, trigger_secs=args.trigger_secs,
+                seen=seen, seen_snapshot=seen_snap,
             )
-            shutil.rmtree(pass_tmp, ignore_errors=True)
             if n_passes > 1 and i == 0:
                 continue  # warmup
             drain_times.append(r["elapsed_s"])
@@ -423,6 +449,33 @@ def run_scaling(args) -> int:
     bus_ceiling = round(1.0 / infl, 3)
     eff_1, eff_3, eff_12 = eff_at(1), eff_at(3), eff_at(12)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # measured size-trend ledger: one row per input size, kept across runs
+    # so the doc shows MEASURED efficiency at several sizes next to the
+    # model's predictions
+    points_path = os.path.join(REPO, "BENCH", "scaling_points.json")
+    try:
+        with open(points_path) as f:
+            points_hist = json.load(f)
+    except FileNotFoundError:
+        points_hist = {}
+    points_hist[str(args.n_urls)] = {
+        "drain_eff": eff,
+        "probe_eff": probe_eff,
+        "t_base_s": t_base,
+        "t_big_s": t_big,
+        "cpu_inflation": cpu_inflation,
+        "serial_floor_s": s_serial,
+        "parallel_work_s": w_par,
+        "base_cores": base,
+        "big_cores": big,
+    }
+    with open(points_path, "w") as f:
+        json.dump(points_hist, f, indent=1, sort_keys=True)
+    size_rows = "\n".join(
+        f"| {int(k):,} | {v['drain_eff']} | {v['t_base_s']} | {v['t_big_s']} | "
+        f"{v.get('cpu_inflation')} | {v.get('serial_floor_s')} | {v.get('parallel_work_s')} |"
+        for k, v in sorted(points_hist.items(), key=lambda kv: int(kv[0]))
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (sandbox proxy for N vs 4N executors)
@@ -482,9 +535,12 @@ measured cpu inflation ({cpu_inflation}x at {big} cores):
   ceiling.
 - Predicted N→4N efficiency as THIS job's input grows on THIS box
   (S fixed, W ∝ input): 1x: {eff_1} · 3x: {eff_3} · 12x: {eff_12} ·
-  ∞: {bus_ceiling} (the bus ceiling). The measured size trend matches:
-  2,000,000 URLs → 0.29, 8,000,000 → 0.55 (earlier runs of the same
-  harness at smaller inputs).
+  ∞: {bus_ceiling} (the bus ceiling). Measured drain points (same harness,
+  N={base} → 4N={big}), one row per input size across runs:
+
+| input URLs | measured eff | T({base}) s | T({big}) s | cpu inflation | serial floor S (s) | parallel work W (s) |
+|---|---|---|---|---|---|---|
+{size_rows}
 
 ## Reading the numbers
 
