@@ -514,8 +514,10 @@ seen-set append — deliberately shuffle- and I/O-heavy.
 |---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency N={base} → 4N={big}: {eff}** (best of 2 drain
-passes per level — same shared-box noise filter as the probe).
+**Scaling efficiency N={base} → 4N={big}: {eff}** (best of
+{len(results[base]['frontier']['all_pass_elapsed_s'])} drain
+passes per level after a warmup pass — same shared-box noise filter as
+the probe).
 
 ## Serial-floor / bus-inflation decomposition of the drain
 
