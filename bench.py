@@ -150,6 +150,7 @@ def frontier_benchmark(
     if seen is None:
         seen, seen_snapshot = make_preseeded_seen(spark, n_urls, tmp_root)
     else:
+        seen.discard_pending()
         seen.table.rollback(seen_snapshot)
         seen._bloom = None
         seen._bloom_snapshot = None
@@ -178,7 +179,9 @@ def frontier_benchmark(
     thresholds: dict[str, int] = {}
     consumed: set[str] = set()
     takes = None  # boundary-take urls (tiny, localCheckpoint'ed)
+    gen_profile: list[dict] = []
     for _ in range(generations):
+        g0 = time.time()
         pending = base
         if consumed:
             pending = pending.where(~F.col("host").isin(sorted(consumed)))
@@ -203,11 +206,16 @@ def frontier_benchmark(
         hints = getattr(sched, "hist_hints", None) or hints
         if n is None:
             n = sched.count()
+        g1 = time.time()
         if n == 0:
             break
         # bootstrap-sized batches span all buckets: skip the prune collect
+        # group-commit: the generation's fresh keys are deduped +
+        # prefilter-folded now; the durable append is ONE flush at drain
+        # end (inside the timed window) — K commits become 1
         fresh = seen.filter_unseen(spark, sched, prune_buckets=False)
-        seen.add(spark, fresh)
+        seen.add(spark, fresh, defer=True)
+        g2 = time.time()
         new_thr = getattr(sched, "hist_thresholds", None)
         consumed.update(getattr(sched, "consumed_hosts", []) or [])
         if new_thr is not None and hints is not None:
@@ -231,6 +239,17 @@ def frontier_benchmark(
             ).localCheckpoint(eager=True)
         total_scheduled += n
         gens += 1
+        add_t = getattr(seen, "last_add", {})
+        gen_profile.append({
+            "schedule_s": round(g1 - g0, 3),
+            "dedup_add_s": round(g2 - g1, 3),
+            "append_s": add_t.get("append_s"),
+            "fold_s": add_t.get("fold_s"),
+            "retire_s": round(time.time() - g2, 3),
+        })
+    f0 = time.time()
+    seen.flush(spark)  # the drain's one durable append — timed
+    flush_s = round(time.time() - f0, 3)
     elapsed = time.time() - t0
     tt1 = task_time_sums(spark)
     base.unpersist()
@@ -244,6 +263,8 @@ def frontier_benchmark(
         "task_time": {
             k: tt1.get(k, 0) - tt0.get(k, 0) for k in tt1
         },
+        "gen_profile": gen_profile,
+        "flush_s": flush_s,
     }
 
 

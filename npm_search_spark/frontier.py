@@ -789,6 +789,7 @@ class Crawl:
         throttle_modulus: int = 0,
         gc_terminal: bool = True,
         seen_backend: str = "bloom",
+        checkpoint_interval: int = 1,
     ):
         """``gc_terminal`` (default True): GC successfully-processed rows
         out of the frontier in the same MERGE pass, so frontier bytes track
@@ -801,6 +802,12 @@ class Crawl:
         self.spark = spark
         self.root = root
         self.gc_terminal = gc_terminal
+        # group-commit granularity: state.save (and the seen-set's durable
+        # append) happens every `checkpoint_interval` generations; in
+        # between, seen-adds are deferred (SeenSet.add(defer=True)) — one
+        # clustered append + one snapshot commit per interval instead of
+        # per generation. 1 = today's per-generation durability.
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
         # priority-clustered files: the scheduled batch is the top-priority
         # head per host, so merge detection prunes to the head files by the
         # batch's (host, priority) bounds even though the merge keys on url
@@ -891,6 +898,7 @@ class Crawl:
         self.packages.rollback(snaps.get("packages") or None)
         self.one_time.rollback(snaps.get("one_time") or None)
         self.not_found.rollback(snaps.get("not_found") or None)
+        self.seen.discard_pending()  # un-flushed deferred adds are gone
         self.seen.table.rollback(snaps.get("seen") or None)
         self.seen._bloom = None  # force rebuild against the rolled-back set
         return st
@@ -1424,7 +1432,7 @@ class Crawl:
         for pending_again in (retry_urls, throttled_urls):
             if pending_again:
                 processed = processed.join(union_all(pending_again), "url", "left_anti")
-        self.seen.add(spark, processed)
+        self.seen.add(spark, processed, defer=self.checkpoint_interval > 1)
 
         done = union_all(done_urls).withColumn("_new_state", F.lit("done"))
         updates = [done]
@@ -1561,23 +1569,31 @@ class Crawl:
         st = self.resume()
         all_metrics = []
         gen = st.generation
+        gens_since_ckpt = 0
         for _ in range(max_generations):
             gen += 1
             m = self.run_generation(gen)
             all_metrics.append(m)
+            gens_since_ckpt += 1
             if log:
                 log(json.dumps(m))
-            self.state.save(
-                CrawlState(
-                    generation=gen,
-                    stage="bootstrap",
-                    bootstrap_done=m["scheduled"] == 0,
-                    snapshots=self._snapshots(),
-                    metrics=m,
-                    host_pauses=dict(self.host_pauses),
-                    hist_hints={h: list(b) for h, b in self.hist_hints.items()},
+            # group-commit: durable seen append + state save once per
+            # checkpoint interval (and always when drained / at exit) —
+            # resume granularity is the checkpoint, not the generation
+            if gens_since_ckpt >= self.checkpoint_interval or m["scheduled"] == 0:
+                self.seen.flush(self.spark)
+                gens_since_ckpt = 0
+                self.state.save(
+                    CrawlState(
+                        generation=gen,
+                        stage="bootstrap",
+                        bootstrap_done=m["scheduled"] == 0,
+                        snapshots=self._snapshots(),
+                        metrics=m,
+                        host_pauses=dict(self.host_pauses),
+                        hist_hints={h: list(b) for h, b in self.hist_hints.items()},
+                    )
                 )
-            )
             if m["scheduled"] == 0:
                 # drained, or everything pending is backing off / its host is
                 # paused — wait out the earlier of the two
@@ -1599,4 +1615,18 @@ class Crawl:
                 wait = min(waits)
                 if wait > 0:
                     time.sleep(min(wait + 0.1, BACKOFF_CAP_S * self.backoff_scale + 1))
+        if gens_since_ckpt:
+            # max_generations hit mid-interval: flush + save a final checkpoint
+            self.seen.flush(self.spark)
+            self.state.save(
+                CrawlState(
+                    generation=gen,
+                    stage="bootstrap",
+                    bootstrap_done=False,
+                    snapshots=self._snapshots(),
+                    metrics=all_metrics[-1] if all_metrics else {},
+                    host_pauses=dict(self.host_pauses),
+                    hist_hints={h: list(b) for h, b in self.hist_hints.items()},
+                )
+            )
         return all_metrics

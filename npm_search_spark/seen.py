@@ -198,6 +198,9 @@ class SeenSet:
         self._bloom: DenseBloom | DenseCuckoo | None = None
         self._bloom_snapshot: int | None = None
         self._bloom_bc = None  # cached spark broadcast of the dense filter
+        # group-commit buffer: keyed (bucket,key,url) batches added with
+        # defer=True, localCheckpointed, awaiting one flush() append
+        self._pending: list[DataFrame] = []
 
     # -- bloom maintenance ---------------------------------------------------
 
@@ -279,6 +282,11 @@ class SeenSet:
             if snap is not None:
                 self._fold_into_bloom(self._shards_of(self.table.read(spark)))
             self._bloom_snapshot = snap
+            # a rebuild reads only the durable table: re-fold any deferred
+            # batches so their keys stay prefilter-visible (a miss would
+            # route a pending key to "definitely unseen" — a dup crawl)
+            for batch in self._pending:
+                self._fold_batch_into_bloom(batch)
         return self._bloom
 
     def _bloom_broadcast(self, spark: SparkSession):
@@ -318,7 +326,7 @@ class SeenSet:
         the default (a handful of buckets -> a handful of files read).
         """
         cand = self.keyed(urls, url_col)
-        if self.table.current_snapshot_id() is None:
+        if self.table.current_snapshot_id() is None and not self._pending:
             return cand.drop("key", "bucket")
 
         bc = self._bloom_broadcast(spark)
@@ -351,6 +359,7 @@ class SeenSet:
         # batch (watch mode) therefore reads a handful of files, not the
         # table.
         snap = self.table.snapshot()
+        seen = None
         if prune_buckets:
             sus_buckets = sorted(
                 {r["bucket"] for r in suspects.select("bucket").distinct().collect()}
@@ -360,27 +369,37 @@ class SeenSet:
                 "files_scanned": len(files),
                 "files_total": len(snap.files) if snap else 0,
             }
-            if not files or not sus_buckets:
-                # every suspect was a Bloom false positive
+            if not sus_buckets:
+                # every candidate missed the prefilter — nothing to check
                 return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
-            seen = (
-                spark.read.parquet(*files)
-                .where(F.col("bucket").isin([int(b) for b in sus_buckets]))
-                .select("key", F.col("url").alias("_seen_url"))
-            )
+            if files:
+                seen = (
+                    spark.read.parquet(*files)
+                    .where(F.col("bucket").isin([int(b) for b in sus_buckets]))
+                    .select("key", F.col("url").alias("_seen_url"))
+                )
         else:
             files = snap.files if snap else []
             self.last_prune = {
                 "files_scanned": len(files),
                 "files_total": len(files),
             }
-            if not files:
-                # snapshot exists but holds zero files (e.g. merge_delete
-                # removed everything): every candidate is unseen
-                return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
-            seen = spark.read.parquet(*files).select(
-                "key", F.col("url").alias("_seen_url")
-            )
+            if files:
+                seen = spark.read.parquet(*files).select(
+                    "key", F.col("url").alias("_seen_url")
+                )
+        # deferred batches are seen-but-not-yet-durable: they are in the
+        # prefilter (folded at defer time), so their keys arrive here as
+        # suspects and must confirm against the buffer exactly like table
+        # rows. Pending batches are localCheckpointed and tiny relative to
+        # the table — an unpruned union is a memory scan, not file I/O.
+        for batch in self._pending:
+            pend = batch.select("key", F.col("url").alias("_seen_url"))
+            seen = pend if seen is None else seen.unionByName(pend)
+        if seen is None:
+            # zero files (e.g. merge_delete removed everything) and no
+            # pending buffer: every candidate is unseen
+            return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
         confirmed = (
             seen.join(
                 F.broadcast(suspects.select("key", F.col(url_col).alias("_cand_url"))),
@@ -404,11 +423,46 @@ class SeenSet:
         urls: DataFrame,
         url_col: str = "url",
         n_partitions: int | None = None,
+        defer: bool = False,
     ) -> int:
         """Append canonical URLs to the seen set (dedup within the batch);
         returns the new snapshot id. ``n_partitions`` pins the number of
         range partitions (and hence files) per append; default lets AQE
-        size them."""
+        size them.
+
+        ``defer=True`` is the group-commit path: the batch is keyed,
+        deduped, localCheckpointed and folded into the in-memory prefilter
+        — so every subsequent ``filter_unseen`` treats it as seen — but the
+        durable append (shuffle + sort + parquet write + snapshot commit)
+        is postponed until ``flush()``. One flush per checkpoint interval
+        replaces K per-generation commits: same bytes written, one job and
+        one snapshot instead of K — the drain's per-generation serial
+        floor (commit + file fold) drops to O(flushes). Returns the
+        CURRENT snapshot id (unchanged until flush)."""
+        if defer:
+            import time as _time
+
+            _t0 = _time.time()
+            batch = (
+                self.keyed(urls.select(url_col), url_col)
+                .select("bucket", "key", F.col(url_col).alias("url"))
+                .dropDuplicates(["key"])
+                .localCheckpoint(eager=True)
+            )
+            _t1 = _time.time()
+            # make sure the filter exists & matches the table BEFORE folding
+            # (a later rebuild would re-fold pending itself)
+            self._bloom_current(spark)
+            self._fold_batch_into_bloom(batch)
+            self._pending.append(batch)
+            self.last_add = {
+                "append_s": round(_t1 - _t0, 3),
+                "fold_s": round(_time.time() - _t1, 3),
+            }
+            return self.table.current_snapshot_id() or 0
+        if self._pending:
+            # keep append ordering sane: a durable add flushes the buffer first
+            self.flush(spark, n_partitions=n_partitions)
         prev_snap = self.table.current_snapshot_id()
         prev_files = (
             set(self.table.snapshot().files) if prev_snap is not None else set()
@@ -435,7 +489,11 @@ class SeenSet:
             .repartition(n_part, pmap[range_id])
             .sortWithinPartitions("bucket", "key")
         )
+        import time as _time
+
+        _t0 = _time.time()
         sid = self.table.append(rows, meta={"op": "seen-add"})
+        _t1 = _time.time()
         if self._bloom is not None and self._bloom_snapshot == prev_snap:
             # incremental: fold only the appended batch into the cached
             # filter, read driver-side (pyarrow) from the files the append
@@ -448,37 +506,107 @@ class SeenSet:
             ]
             self._fold_files_into_bloom(new_files)
             self._bloom_snapshot = sid
+        # phase timings for the bench's serial-floor decomposition: the
+        # append job+commit vs the driver-side bloom fold
+        self.last_add = {
+            "append_s": round(_t1 - _t0, 3),
+            "fold_s": round(_time.time() - _t1, 3),
+        }
         return sid
+
+    def flush(self, spark: SparkSession, n_partitions: int | None = None) -> int:
+        """Commit all deferred batches as ONE clustered append. The cached
+        prefilter already contains every pending key (folded at defer
+        time), so the flush is purely the durable write: union the
+        checkpointed batches, drop cross-batch dup keys, one token-bucket
+        shuffle, one sort, one parquet write, one snapshot commit."""
+        if not self._pending:
+            return self.table.current_snapshot_id() or 0
+        from functools import reduce
+
+        batch = reduce(lambda a, b: a.unionByName(b), self._pending)
+        spark_ = batch.sparkSession
+        n_part = int(n_partitions or spark_.conf.get("spark.sql.shuffle.partitions"))
+        n_part = max(1, min(n_part, self.n_buckets))
+        toks = _bucket_partition_tokens(n_part)
+        pmap = F.create_map(
+            *[F.lit(x) for p in range(n_part) for x in (p, toks[p])]
+        )
+        range_id = F.floor(F.col("bucket") * n_part / self.n_buckets).cast("int")
+        rows = (
+            batch.dropDuplicates(["key"])
+            .repartition(n_part, pmap[range_id])
+            .sortWithinPartitions("bucket", "key")
+        )
+        sid = self.table.append(
+            rows, meta={"op": "seen-add", "batched": len(self._pending)}
+        )
+        self._pending = []
+        if self._bloom is not None:
+            # the filter already covers the flushed keys exactly
+            self._bloom_snapshot = sid
+        return sid
+
+    def discard_pending(self) -> None:
+        """Drop deferred batches without committing (rollback path). The
+        cached filter may contain the discarded keys; invalidate it so the
+        next use rebuilds from the durable table."""
+        if not self._pending:
+            return
+        self._pending = []
+        self._bloom = None
+        self._bloom_snapshot = None
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
+
+    def _fold_arrays_into_bloom(self, buckets: np.ndarray, keys: np.ndarray) -> None:
+        """Driver-local incremental fold of raw (bucket, key) arrays into the
+        cached dense filter."""
+        if self._bloom is None:
+            self._bloom = self._new_filter()
+        if self.backend == "bloom":
+            local = BloomShards(self.m, self.k)
+        else:
+            local = CuckooShards(self.cuckoo_rows)
+        local.add(buckets, keys)
+        for b, bm in local.shards.items():
+            self._bloom.merge_shard(b, bm)
+        for b, row, fp in getattr(local, "overflow", []):
+            self._bloom.reinsert_pair(b, int(row), int(fp))
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
 
     def _fold_files_into_bloom(self, files: list[str]) -> None:
         """Driver-local incremental fold: read (bucket, key) of freshly
         written parquet files and add them to the cached dense filter."""
         import pyarrow.parquet as pq
 
-        if self._bloom is None:
-            self._bloom = self._new_filter()
         for f in files:
             tbl = pq.read_table(f, columns=["bucket", "key"])
-            buckets = tbl.column("bucket").to_numpy(zero_copy_only=False)
-            keys = tbl.column("key").to_numpy(zero_copy_only=False)
-            if self.backend == "bloom":
-                local = BloomShards(self.m, self.k)
-            else:
-                local = CuckooShards(self.cuckoo_rows)
-            local.add(buckets, keys)
-            for b, bm in local.shards.items():
-                self._bloom.merge_shard(b, bm)
-            for b, row, fp in getattr(local, "overflow", []):
-                self._bloom.reinsert_pair(b, int(row), int(fp))
-        if self._bloom_bc is not None:
-            self._bloom_bc.unpersist()
-            self._bloom_bc = None
+            self._fold_arrays_into_bloom(
+                tbl.column("bucket").to_numpy(zero_copy_only=False),
+                tbl.column("key").to_numpy(zero_copy_only=False),
+            )
+
+    def _fold_batch_into_bloom(self, batch: DataFrame) -> None:
+        """Fold a localCheckpointed keyed batch into the cached filter via
+        one Arrow collect of its (bucket, key) columns — the same O(batch)
+        driver transfer as the parquet-file fold, with no file I/O."""
+        tbl = batch.select("bucket", "key").toArrow()
+        self._fold_arrays_into_bloom(
+            tbl.column("bucket").to_numpy(zero_copy_only=False),
+            tbl.column("key").to_numpy(zero_copy_only=False),
+        )
 
     def compact(self, spark: SparkSession, n_partitions: int | None = None) -> int:
         """Rewrite the seen table into one globally (bucket, key)-clustered
         file set. Incremental adds append one file set per generation, so
         after many generations a lookup touches ~one file per append; a
         periodic compact restores one-file-per-bucket-range locality."""
+        if self._pending:
+            self.flush(spark)
         sid = self.table.compact(
             spark, cluster_by=["bucket", "key"], n_partitions=n_partitions,
             meta={"op": "seen-compact"},
@@ -499,6 +627,9 @@ class SeenSet:
         deletes exactly; the bloom backend cannot delete, so it is left
         stale-conservative (extra false positives resolved by the exact
         check — never a false negative). Returns the new snapshot id."""
+        if self._pending:
+            # merge_delete operates on the durable table only
+            self.flush(spark)
         keyed = (
             self.keyed(urls.select(url_col), url_col)
             .select("bucket", "key", F.col(url_col).alias("url"))
@@ -540,6 +671,12 @@ class SeenSet:
         return sid
 
     def count(self, spark: SparkSession) -> int:
-        if self.table.current_snapshot_id() is None:
+        dfs = []
+        if self.table.current_snapshot_id() is not None:
+            dfs.append(self.table.read(spark).select("key"))
+        dfs.extend(p.select("key") for p in self._pending)
+        if not dfs:
             return 0
-        return self.table.read(spark).count()
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), dfs).distinct().count()

@@ -459,6 +459,72 @@ class TestFrontierGC:
         assert carried or not gen2_parent
 
 
+class TestGroupCommit:
+    """checkpoint_interval > 1: seen appends group-commit at checkpoint
+    boundaries (one durable append + one state save per interval) with
+    results identical to per-generation durability."""
+
+    def _digest(self, spark, df):
+        volatile = {"lastCrawl", "_revision"}
+        cols = sorted(set(df.columns) - volatile)
+        return {
+            r["h"]
+            for r in df.select(F.md5(F.to_json(F.struct(*cols))).alias("h")).collect()
+        }
+
+    def test_interval_crawl_matches_per_generation(self, spark, universe, tmp_path):
+        a = Crawl(spark, str(tmp_path / "a"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13)
+        a.seed(universe["raw_docs"].select("doc_id"))
+        a.run_bootstrap(max_generations=60, log=None)
+        b = Crawl(spark, str(tmp_path / "b"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13,
+                  checkpoint_interval=3)
+        b.seed(universe["raw_docs"].select("doc_id"))
+        b.run_bootstrap(max_generations=60, log=None)
+
+        assert self._digest(spark, a.packages.read(spark)) == self._digest(
+            spark, b.packages.read(spark)
+        )
+        sa = {r["url"] for r in a.seen.table.read(spark).select("url").collect()}
+        sb = {r["url"] for r in b.seen.table.read(spark).select("url").collect()}
+        assert sa == sb
+        assert not b.seen._pending  # everything flushed at exit
+        # the whole point: fewer durable seen commits than generations
+        gens = len([s for s in a.seen.table.history() if s.operation == "append"])
+        grouped = len([s for s in b.seen.table.history() if s.operation == "append"])
+        assert grouped < gens
+
+    def test_resume_mid_interval_discards_deferred(self, spark, universe, tmp_path):
+        """Crash between checkpoints: un-flushed seen adds are discarded on
+        resume and the re-run converges to the uninterrupted result."""
+        a = Crawl(spark, str(tmp_path / "a"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13,
+                  checkpoint_interval=4)
+        a.seed(universe["raw_docs"].select("doc_id"))
+        a.run_bootstrap(max_generations=60, log=None)
+
+        b = Crawl(spark, str(tmp_path / "b"), universe, 10_000_000,
+                  budget_multiplier=10, backoff_scale=0.02, transient_modulus=13,
+                  checkpoint_interval=4)
+        b.seed(universe["raw_docs"].select("doc_id"))
+        # two raw generations with NO flush — a crash mid-interval
+        b.run_generation(1)
+        b.run_generation(2)
+        assert b.seen._pending  # deferred, not durable
+        b2 = Crawl(spark, str(tmp_path / "b"), universe, 10_000_000,
+                   budget_multiplier=10, backoff_scale=0.02, transient_modulus=13,
+                   checkpoint_interval=4)
+        b2.run_bootstrap(max_generations=60, log=None)
+
+        assert self._digest(spark, a.packages.read(spark)) == self._digest(
+            spark, b2.packages.read(spark)
+        )
+        sa = {r["url"] for r in a.seen.table.read(spark).select("url").collect()}
+        sb = {r["url"] for r in b2.seen.table.read(spark).select("url").collect()}
+        assert sa == sb
+
+
 class TestBootstrapLifecycle:
     def test_finalize_promotes_and_redo_window_triggers(self, spark, universe, tmp_path):
         """Promote = manifest commit over the same immutable files

@@ -158,6 +158,107 @@ class TestSeenSet:
         assert s.count(spark) == 300
 
 
+class TestSeenDeferred:
+    """Group-commit appends: add(defer=True) buffers keyed batches +
+    prefilter folds; flush() makes ONE durable append per interval. The
+    dedup contract must be indistinguishable from eager appends at every
+    point in between."""
+
+    def _urls(self, spark, urls):
+        return spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def test_deferred_adds_dedup_before_flush(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/seeded"]))
+        snap_before = s.table.current_snapshot_id()
+        b1 = [f"https://registry.npmjs.org/d1-{i}" for i in range(50)]
+        b2 = [f"https://registry.npmjs.org/d2-{i}" for i in range(50)]
+        s.add(spark, self._urls(spark, b1), defer=True)
+        # no durable commit yet
+        assert s.table.current_snapshot_id() == snap_before
+        # but the deferred keys ARE seen — exactness across the buffer
+        out = s.filter_unseen(spark, self._urls(spark, b1 + b2))
+        assert sorted(r["url"] for r in out.collect()) == sorted(b2)
+        s.add(spark, self._urls(spark, b2), defer=True)
+        assert s.filter_unseen(spark, self._urls(spark, b1 + b2)).count() == 0
+        # count() sees buffered keys
+        assert s.count(spark) == 101
+        # one flush, one new snapshot, identical final contents
+        sid = s.flush(spark)
+        assert sid != snap_before
+        assert s.table.read(spark).count() == 101
+        assert s.filter_unseen(spark, self._urls(spark, b1 + b2)).count() == 0
+
+    def test_flush_matches_eager_path(self, spark, tmp_path):
+        urls = [f"https://registry.npmjs.org/m-{i}" for i in range(200)]
+        eager = SeenSet(str(tmp_path / "eager"), expected_keys_per_bucket=1000)
+        for i in range(0, 200, 50):
+            eager.add(spark, self._urls(spark, urls[i : i + 50]), n_partitions=4)
+        deferred = SeenSet(str(tmp_path / "deferred"), expected_keys_per_bucket=1000)
+        for i in range(0, 200, 50):
+            deferred.add(spark, self._urls(spark, urls[i : i + 50]), defer=True)
+        deferred.flush(spark, n_partitions=4)
+        a = {r["key"] for r in eager.table.read(spark).select("key").collect()}
+        b = {r["key"] for r in deferred.table.read(spark).select("key").collect()}
+        assert a == b
+        # flush wrote ONE snapshot with range-clustered files like add does
+        snap = deferred.table.snapshot()
+        ranges = sorted(snap.file_stats[f]["bucket"] for f in snap.files)
+        assert all(x[1] <= y[0] for x, y in zip(ranges, ranges[1:]))
+
+    def test_defer_on_empty_table(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        b1 = ["https://registry.npmjs.org/a", "https://registry.npmjs.org/b"]
+        s.add(spark, self._urls(spark, b1), defer=True)
+        out = s.filter_unseen(
+            spark, self._urls(spark, b1 + ["https://registry.npmjs.org/c"])
+        )
+        assert [r["url"] for r in out.collect()] == ["https://registry.npmjs.org/c"]
+        s.flush(spark)
+        assert s.table.read(spark).count() == 2
+
+    def test_discard_pending(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/keep"]))
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/drop"]), defer=True)
+        s.discard_pending()
+        out = s.filter_unseen(
+            spark,
+            self._urls(
+                spark,
+                ["https://registry.npmjs.org/keep", "https://registry.npmjs.org/drop"],
+            ),
+        )
+        # the discarded key is unseen again; the durable one stays seen
+        assert [r["url"] for r in out.collect()] == ["https://registry.npmjs.org/drop"]
+        assert s.count(spark) == 1
+
+    def test_eager_add_flushes_buffer_first(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/x"]), defer=True)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/y"]))
+        assert not s._pending
+        assert s.table.read(spark).count() == 2
+
+    def test_cross_batch_duplicates_collapse_at_flush(self, spark, tmp_path):
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        # same URL deferred twice (a caller that skips filter_unseen)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/dup"]), defer=True)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/dup"]), defer=True)
+        s.flush(spark)
+        assert s.table.read(spark).count() == 1
+
+    def test_deferred_cuckoo_backend(self, spark, tmp_path):
+        s = SeenSet(
+            str(tmp_path / "seen"), expected_keys_per_bucket=1000, backend="cuckoo"
+        )
+        b1 = [f"https://registry.npmjs.org/ck-{i}" for i in range(40)]
+        s.add(spark, self._urls(spark, b1), defer=True)
+        assert s.filter_unseen(spark, self._urls(spark, b1)).count() == 0
+        s.flush(spark)
+        assert s.filter_unseen(spark, self._urls(spark, b1)).count() == 0
+
+
 class TestBucketPartitionTokens:
     def test_tokens_match_spark_hash_partitioning(self, spark):
         """The driver-side murmur3 token table must agree with Spark's
