@@ -210,9 +210,11 @@ def frontier_benchmark(
         if n == 0:
             break
         # bootstrap-sized batches span all buckets: skip the prune collect
-        # group-commit: the generation's fresh keys are deduped +
-        # prefilter-folded now; the durable append is ONE flush at drain
-        # end (inside the timed window) — K commits become 1
+        # group-commit: the generation's fresh keys are deduped + entered
+        # into the small delta broadcast now (the dense filter's broadcast
+        # stays stable — no per-generation O(table)-bits re-ship to every
+        # worker); the durable append + ONE filter fold happen at the flush
+        # at drain end (inside the timed window) — K commits become 1
         fresh = seen.filter_unseen(spark, sched, prune_buckets=False)
         seen.add(spark, fresh, defer=True)
         g2 = time.time()
@@ -416,8 +418,14 @@ def run_scaling(args) -> int:
             text=True,
             cwd=REPO,
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        json_lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not json_lines:
+            sys.stderr.write(
+                f"scaling child local[{cores}] produced no JSON (rc={out.returncode});"
+                f" stdout tail:\n{out.stdout[-2000:]}\nstderr tail:\n{out.stderr[-4000:]}\n"
+            )
+            return 1
+        results[cores] = json.loads(json_lines[-1])
         print(f"local[{cores}]: {results[cores]['value']} urls/s", file=sys.stderr)
 
     def tt_of(d):
@@ -583,6 +591,13 @@ measured cpu inflation ({cpu_inflation}x at {big} cores):
   drain follows the probe's scaling once the bus stops being shared.
 """
         )
+        # hand-maintained measurement-provenance notes live in a separate
+        # file so a scaling re-run (which regenerates this doc) can't wipe
+        # them — round 4 lost a provenance section exactly that way
+        prov_path = os.path.join(REPO, "BENCH", "PROVENANCE.md")
+        if os.path.exists(prov_path):
+            with open(prov_path) as pf:
+                f.write("\n" + pf.read())
     print(
         json.dumps(
             {

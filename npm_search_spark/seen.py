@@ -201,6 +201,17 @@ class SeenSet:
         # group-commit buffer: keyed (bucket,key,url) batches added with
         # defer=True, localCheckpointed, awaiting one flush() append
         self._pending: list[DataFrame] = []
+        # driver-side (bucket, key) arrays of the same batches. Pending keys
+        # are prefiltered via a SMALL sorted-key delta broadcast, NOT by
+        # folding into the dense filter: a fold would invalidate the big
+        # filter's broadcast and force every Python worker to re-fetch
+        # O(table) bits each micro-batch — a per-worker tax that grows with
+        # cluster size (the 4N-executor cluster pays 4x). The delta is
+        # O(pending) bytes and exact; the dense filter's broadcast stays
+        # stable until flush().
+        self._pending_arrays: list[tuple[np.ndarray, np.ndarray]] = []
+        self._delta_keys: np.ndarray | None = None  # sorted pending keys
+        self._delta_bc = None
 
     # -- bloom maintenance ---------------------------------------------------
 
@@ -282,11 +293,11 @@ class SeenSet:
             if snap is not None:
                 self._fold_into_bloom(self._shards_of(self.table.read(spark)))
             self._bloom_snapshot = snap
-            # a rebuild reads only the durable table: re-fold any deferred
-            # batches so their keys stay prefilter-visible (a miss would
-            # route a pending key to "definitely unseen" — a dup crawl)
-            for batch in self._pending:
-                self._fold_batch_into_bloom(batch)
+            # deferred batches are NOT folded here: their keys stay
+            # prefilter-visible through the sorted-key delta broadcast
+            # (_delta_broadcast), which filter_unseen ORs into the dense
+            # filter's verdict — a miss would route a pending key to
+            # "definitely unseen" (a dup crawl), so the delta is exact.
         return self._bloom
 
     def _bloom_broadcast(self, spark: SparkSession):
@@ -296,6 +307,23 @@ class SeenSet:
         if self._bloom_bc is None:
             self._bloom_bc = spark.sparkContext.broadcast(self._bloom)
         return self._bloom_bc
+
+    def _delta_broadcast(self, spark: SparkSession):
+        """Broadcast of the sorted pending-key array (None when empty) —
+        one per delta version; a defer-add invalidates only this small
+        broadcast, never the dense filter's."""
+        if self._delta_keys is None or not len(self._delta_keys):
+            return None
+        if self._delta_bc is None:
+            self._delta_bc = spark.sparkContext.broadcast(self._delta_keys)
+        return self._delta_bc
+
+    def _clear_delta(self) -> None:
+        self._pending_arrays = []
+        self._delta_keys = None
+        if self._delta_bc is not None:
+            self._delta_bc.unpersist()
+            self._delta_bc = None
 
     # -- public API ------------------------------------------------------------
 
@@ -330,6 +358,7 @@ class SeenSet:
             return cand.drop("key", "bucket")
 
         bc = self._bloom_broadcast(spark)
+        dbc = self._delta_broadcast(spark)
         from pyspark.sql.pandas.functions import pandas_udf
 
         @pandas_udf("boolean")
@@ -337,9 +366,13 @@ class SeenSet:
             import pandas as pd
 
             b = bc.value
-            return pd.Series(
-                b.might_contain(bucket.to_numpy(), key.to_numpy())
-            )
+            k = key.to_numpy()
+            hit = b.might_contain(bucket.to_numpy(), k)
+            if dbc is not None:
+                d = dbc.value  # sorted pending keys (exact, tiny)
+                idx = np.minimum(np.searchsorted(d, k), len(d) - 1)
+                hit |= d[idx] == k
+            return pd.Series(hit)
 
         # materialize once: both branches below consume this plan, and the
         # politeness/bloom upstream must not re-execute per branch
@@ -388,11 +421,11 @@ class SeenSet:
                 seen = spark.read.parquet(*files).select(
                     "key", F.col("url").alias("_seen_url")
                 )
-        # deferred batches are seen-but-not-yet-durable: they are in the
-        # prefilter (folded at defer time), so their keys arrive here as
-        # suspects and must confirm against the buffer exactly like table
-        # rows. Pending batches are localCheckpointed and tiny relative to
-        # the table — an unpruned union is a memory scan, not file I/O.
+        # deferred batches are seen-but-not-yet-durable: the delta
+        # broadcast routes their keys here as suspects, and they must
+        # confirm against the buffer exactly like table rows. Pending
+        # batches are localCheckpointed and tiny relative to the table —
+        # an unpruned union is a memory scan, not file I/O.
         for batch in self._pending:
             pend = batch.select("key", F.col("url").alias("_seen_url"))
             seen = pend if seen is None else seen.unionByName(pend)
@@ -431,14 +464,17 @@ class SeenSet:
         size them.
 
         ``defer=True`` is the group-commit path: the batch is keyed,
-        deduped, localCheckpointed and folded into the in-memory prefilter
-        — so every subsequent ``filter_unseen`` treats it as seen — but the
-        durable append (shuffle + sort + parquet write + snapshot commit)
-        is postponed until ``flush()``. One flush per checkpoint interval
-        replaces K per-generation commits: same bytes written, one job and
-        one snapshot instead of K — the drain's per-generation serial
-        floor (commit + file fold) drops to O(flushes). Returns the
-        CURRENT snapshot id (unchanged until flush)."""
+        deduped, localCheckpointed and its keys entered into the sorted
+        delta broadcast — so every subsequent ``filter_unseen`` treats it
+        as seen — but the durable append (shuffle + sort + parquet write +
+        snapshot commit) is postponed until ``flush()``. One flush per
+        checkpoint interval replaces K per-generation commits: same bytes
+        written, one job and one snapshot instead of K, and ONE dense-
+        filter fold/re-broadcast instead of K — the drain's per-generation
+        serial floor (commit + file fold) AND its per-worker broadcast
+        traffic (O(table) bits x workers x generations) both drop to
+        O(flushes). Returns the CURRENT snapshot id (unchanged until
+        flush)."""
         if defer:
             import time as _time
 
@@ -450,10 +486,24 @@ class SeenSet:
                 .localCheckpoint(eager=True)
             )
             _t1 = _time.time()
-            # make sure the filter exists & matches the table BEFORE folding
-            # (a later rebuild would re-fold pending itself)
-            self._bloom_current(spark)
-            self._fold_batch_into_bloom(batch)
+            # pending keys go into the SMALL sorted-key delta (one Arrow
+            # collect), not the dense filter: the big broadcast stays valid,
+            # so the next filter_unseen re-ships O(pending) bytes per
+            # worker, not O(table) bits — the fold is paid once, at flush
+            tbl = batch.select("bucket", "key").toArrow()
+            bks = tbl.column("bucket").to_numpy(zero_copy_only=False)
+            kys = tbl.column("key").to_numpy(zero_copy_only=False)
+            self._pending_arrays.append(
+                (np.ascontiguousarray(bks), np.ascontiguousarray(kys))
+            )
+            self._delta_keys = np.sort(
+                kys
+                if self._delta_keys is None
+                else np.concatenate([self._delta_keys, kys])
+            )
+            if self._delta_bc is not None:
+                self._delta_bc.unpersist()
+                self._delta_bc = None
             self._pending.append(batch)
             self.last_add = {
                 "append_s": round(_t1 - _t0, 3),
@@ -542,23 +592,27 @@ class SeenSet:
             rows, meta={"op": "seen-add", "batched": len(self._pending)}
         )
         self._pending = []
-        if self._bloom is not None:
-            # the filter already covers the flushed keys exactly
+        if self._bloom is not None and self._pending_arrays:
+            # ONE driver-side fold of all flushed keys (deduped) — the big
+            # broadcast is invalidated here, once per flush, instead of once
+            # per deferred add
+            allb = np.concatenate([b for b, _ in self._pending_arrays])
+            allk = np.concatenate([k for _, k in self._pending_arrays])
+            _, first = np.unique(allk, return_index=True)
+            self._fold_arrays_into_bloom(allb[first], allk[first])
             self._bloom_snapshot = sid
+        self._clear_delta()
         return sid
 
     def discard_pending(self) -> None:
         """Drop deferred batches without committing (rollback path). The
-        cached filter may contain the discarded keys; invalidate it so the
-        next use rebuilds from the durable table."""
+        dense filter never saw the pending keys (they live in the delta
+        broadcast), so it stays valid for the durable table — only the
+        delta is dropped."""
         if not self._pending:
             return
         self._pending = []
-        self._bloom = None
-        self._bloom_snapshot = None
-        if self._bloom_bc is not None:
-            self._bloom_bc.unpersist()
-            self._bloom_bc = None
+        self._clear_delta()
 
     def _fold_arrays_into_bloom(self, buckets: np.ndarray, keys: np.ndarray) -> None:
         """Driver-local incremental fold of raw (bucket, key) arrays into the
@@ -589,16 +643,6 @@ class SeenSet:
                 tbl.column("bucket").to_numpy(zero_copy_only=False),
                 tbl.column("key").to_numpy(zero_copy_only=False),
             )
-
-    def _fold_batch_into_bloom(self, batch: DataFrame) -> None:
-        """Fold a localCheckpointed keyed batch into the cached filter via
-        one Arrow collect of its (bucket, key) columns — the same O(batch)
-        driver transfer as the parquet-file fold, with no file I/O."""
-        tbl = batch.select("bucket", "key").toArrow()
-        self._fold_arrays_into_bloom(
-            tbl.column("bucket").to_numpy(zero_copy_only=False),
-            tbl.column("key").to_numpy(zero_copy_only=False),
-        )
 
     def compact(self, spark: SparkSession, n_partitions: int | None = None) -> int:
         """Rewrite the seen table into one globally (bucket, key)-clustered

@@ -217,6 +217,36 @@ class TestSeenDeferred:
         s.flush(spark)
         assert s.table.read(spark).count() == 2
 
+    def test_defer_keeps_dense_broadcast_stable(self, spark, tmp_path):
+        """Deferred adds must not invalidate the dense filter's broadcast:
+        re-shipping O(table) bits to every Python worker per micro-batch
+        is a per-worker tax that grows with cluster size (the N->4N
+        scaling criterion's enemy). Pending keys ride the small sorted-key
+        delta broadcast instead; the dense fold happens once, at flush."""
+        s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
+        s.add(spark, self._urls(spark, ["https://registry.npmjs.org/base"]))
+        s.filter_unseen(spark, self._urls(spark, ["https://x.org/q"])).count()
+        dense_bc = s._bloom_bc
+        assert dense_bc is not None
+        b1 = [f"https://registry.npmjs.org/g1-{i}" for i in range(40)]
+        b2 = [f"https://registry.npmjs.org/g2-{i}" for i in range(40)]
+        s.add(spark, self._urls(spark, b1), defer=True)
+        assert s._bloom_bc is dense_bc  # untouched by the deferred add
+        d1 = s._delta_broadcast(spark)
+        assert d1 is not None and len(d1.value) == 40
+        # dedup still exact across buffer + table while the dense bc is stale
+        out = s.filter_unseen(spark, self._urls(spark, b1 + b2))
+        assert sorted(r["url"] for r in out.collect()) == sorted(b2)
+        s.add(spark, self._urls(spark, b2), defer=True)
+        assert s._bloom_bc is dense_bc  # still untouched
+        assert len(s._delta_broadcast(spark).value) == 80
+        # flush folds ONCE: dense broadcast finally rolls, delta clears
+        s.flush(spark)
+        assert s._delta_broadcast(spark) is None
+        s.filter_unseen(spark, self._urls(spark, b1)).count()
+        assert s._bloom_bc is not dense_bc
+        assert s.filter_unseen(spark, self._urls(spark, b1 + b2)).count() == 0
+
     def test_discard_pending(self, spark, tmp_path):
         s = SeenSet(str(tmp_path / "seen"), expected_keys_per_bucket=1000)
         s.add(spark, self._urls(spark, ["https://registry.npmjs.org/keep"]))
