@@ -270,11 +270,19 @@ def frontier_benchmark(
     }
 
 
-def politeness_scaling_probe(spark, n_urls: int, passes: int = 5) -> dict:
+def politeness_scaling_probe(
+    spark, n_urls: int, passes: int = 6, max_passes: int = 12
+) -> dict:
     """The production-regime scheduler alone: shuffle-free Arrow partial
     top-k over the full pending set (per-host budgets at their real-world
     size). Pure scan+compute — the stage whose scaling is NOT bounded by
-    the single shared memory bus the shuffle path saturates."""
+    the single shared memory bus the shuffle path saturates.
+
+    Runs ``passes`` timed passes, then keeps going (up to ``max_passes``)
+    while the best pass is still improving — at higher core counts the JIT
+    + Python-worker pool takes more passes to converge (r3's local[8] runs
+    were still monotonically descending at pass 5, understating the
+    steady-state throughput the efficiency ratio compares)."""
     from npm_search_spark.frontier import DEFAULT_BUDGETS, politeness_schedule
 
     pending = synth_frontier(spark, n_urls).repartition(64).persist()
@@ -289,10 +297,12 @@ def politeness_scaling_probe(spark, n_urls: int, passes: int = 5) -> dict:
     t0 = time.time()
     n = 0
     pass_times = []
-    for _ in range(passes):
+    while len(pass_times) < max_passes:
         p0 = time.time()
         n = sched.count()
         pass_times.append(round(time.time() - p0, 3))
+        if len(pass_times) >= passes and min(pass_times[-2:]) > min(pass_times[:-2]):
+            break  # converged: the last two passes stopped improving the best
     elapsed = time.time() - t0
     tt1 = task_time_sums(spark)
     pending.unpersist()
@@ -301,12 +311,12 @@ def politeness_scaling_probe(spark, n_urls: int, passes: int = 5) -> dict:
     best = min(pass_times)
     return {
         "n_urls": n_urls,
-        "passes": passes,
+        "passes": len(pass_times),
         "winners_per_pass": n,
         "elapsed_s": round(elapsed, 3),
         "pass_times_s": pass_times,
         "urls_ranked_per_sec": round(n_urls / best, 1),
-        "urls_ranked_per_sec_mean": round(n_urls * passes / elapsed, 1),
+        "urls_ranked_per_sec_mean": round(n_urls * len(pass_times) / elapsed, 1),
         "task_time": {k: tt1.get(k, 0) - tt0.get(k, 0) for k in tt1},
     }
 
@@ -327,6 +337,9 @@ def main() -> int:
     ap.add_argument("--probe-urls", type=int, default=int(os.environ.get("BENCH_PROBE_URLS", "32000000")))
     ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N], write BENCH/BASELINE.md")
     ap.add_argument("--scaling-base", type=int, default=2)
+    ap.add_argument("--scaling-drain-passes", type=int, default=3,
+                    help="timed drain passes per parallelism level in --scaling mode "
+                         "(a warmup pass is always added); lower for large inputs")
     args = ap.parse_args()
 
     if args.scaling:
@@ -412,7 +425,7 @@ def run_scaling(args) -> int:
                 "--probe-urls", str(args.probe_urls),
                 "--trigger-secs", str(args.trigger_secs),
                 "--generations", str(args.generations),
-                "--drain-passes", "3",
+                "--drain-passes", str(args.scaling_drain_passes),
             ],
             capture_output=True,
             text=True,
