@@ -176,6 +176,7 @@ def frontier_benchmark(
     total_scheduled = 0
     gens = 0
     hints = None  # per-host priority bounds, reused across generations
+    counts = None  # per-host bin-count ledger: steady-state gens run ONE scan
     thresholds: dict[str, int] = {}
     consumed: set[str] = set()
     takes = None  # boundary-take urls (tiny, localCheckpoint'ed)
@@ -197,13 +198,17 @@ def frontier_benchmark(
             pending = pending.join(F.broadcast(takes), "url", "left_anti")
         sched = politeness_schedule(
             pending, DEFAULT_BUDGETS, budget_multiplier=trigger_secs,
-            hist_hints=hints,
+            hist_hints=hints, hist_counts=counts,
         )
         # the histogram scheduler knows its exact winner count driver-side
-        # and hands back bounds + thresholds for the next tick — no count
-        # job, no per-generation stats scan
+        # and hands back bounds + thresholds + the post-schedule bin-count
+        # ledger for the next tick — no count job, no stats scan, and (in
+        # steady state) no histogram scan either: the drain's retirement is
+        # exactly the scheduler's winner set, so the carried ledger stays
+        # exact and each generation runs ONE pending scan
         n = getattr(sched, "scheduled_count", None)
         hints = getattr(sched, "hist_hints", None) or hints
+        counts = getattr(sched, "hist_counts", None)
         if n is None:
             n = sched.count()
         g1 = time.time()

@@ -101,11 +101,15 @@ def politeness_schedule(
     n_partitions: int | None = None,
     strategy: str = "auto",
     hist_hints: dict[str, tuple[float, float]] | None = None,
+    hist_counts: dict[str, dict[int, int]] | None = None,
 ) -> DataFrame:
     """Exact top-budget rows per host under (priority DESC, url ASC) — the
     T7 politeness-bucket operator. ``hist_hints`` (histogram strategy
     only): per-host priority bounds from a previous tick — skips the
-    stats scan while staying exact (see _schedule_histogram_topk).
+    stats scan while staying exact. ``hist_counts`` (histogram strategy
+    only, requires hist_hints): the previous tick's carried bin-count
+    ledger — skips the histogram scan too, so a steady-state tick runs
+    ONE pending scan (see _schedule_histogram_topk).
 
     Scale design: a naive Window.partitionBy(host) funnels each hot host's
     entire pending set (10^9+ rows for 3 structurally hot hosts) through a
@@ -160,7 +164,7 @@ def politeness_schedule(
     if strategy == "histogram":
         return _schedule_histogram_topk(
             pending, budgets, default_budget, budget_multiplier, n_partitions,
-            host_budget, hist_hints=hist_hints,
+            host_budget, hist_hints=hist_hints, hist_counts=hist_counts,
         )
     return _schedule_range_topk(
         pending, budgets, default_budget, budget_multiplier, n_partitions, host_budget
@@ -290,6 +294,7 @@ def _schedule_histogram_topk(
     host_budget,
     n_bins: int = 4096,
     hist_hints: dict[str, tuple[float, float]] | None = None,
+    hist_counts: dict[str, dict[int, int]] | None = None,
 ) -> DataFrame:
     """Exact threshold top-k without shuffling pending.
 
@@ -313,7 +318,22 @@ def _schedule_histogram_topk(
     through the stats-first path. The result carries two attributes:
     ``scheduled_count`` (the exact winner count, known driver-side — no
     count job needed) and ``hist_hints`` (bounds to pass back next tick).
+
+    ``hist_counts`` {host: {bin: count}} — the carried bin-count ledger —
+    skips job 2 as well: a steady-state caller whose pending set changed
+    ONLY by retiring the rows this scheduler picked (plus deltas the
+    caller binned itself) passes back the ``hist_counts`` attribute of the
+    previous result, and the tick runs ONE pending scan (the candidate
+    materialization) instead of two. The driver knows the winner set
+    exactly in bin space — {bin > B} all scheduled, bin B loses
+    ``remaining`` rows — so the post-schedule ledger is pure arithmetic.
+    Requires ``hist_hints`` (counts are meaningless without the bounds
+    that define the bins) and a caller that guarantees the ledger covers
+    every pending host: hosts absent from the ledger are invisible to a
+    counts-carried tick.
     """
+    if hist_counts is not None and hist_hints is None:
+        raise ValueError("hist_counts requires the hist_hints that define its bins")
     if hist_hints is None:
         stats = pending.groupBy("host").agg(
             F.count("*").alias("n"),
@@ -325,6 +345,7 @@ def _schedule_histogram_topk(
             out.scheduled_count = 0
             out.hist_hints = {}
             out.hist_thresholds = {}
+            out.hist_counts = {}
             out.consumed_hosts = []
             return out
         take_all = [r["host"] for r in stats if r["n"] <= host_budget(r["host"])]
@@ -339,6 +360,7 @@ def _schedule_histogram_topk(
                 r["host"]: (float(r["mn"]), float(r["mx"])) for r in stats
             }
             out.hist_thresholds = {}
+            out.hist_counts = {}  # every pending row was scheduled
             out.consumed_hosts = list(take_all)
             return out
         bounds = {r["host"]: (float(r["mn"]), float(r["mx"])) for r in need}
@@ -389,17 +411,28 @@ def _schedule_histogram_topk(
         def with_bin(df: DataFrame) -> DataFrame:
             return df.withColumn("_bin", _bexpr)
 
-    hist_src = pending if need is None else _host_subset(
-        pending, [r["host"] for r in need]
-    )
-    hist = with_bin(hist_src).groupBy("host", "_bin").count().collect()
     by_host: dict[str, dict[int, int]] = {}
     unknown: dict[str, int] = {}  # hosts absent from the hints (null bins)
-    for r in hist:
-        if r["_bin"] is None:
-            unknown[r["host"]] = unknown.get(r["host"], 0) + r["count"]
-        else:
-            by_host.setdefault(r["host"], {})[r["_bin"]] = r["count"]
+    if hist_counts is not None:
+        # counts-carry: the caller's ledger IS the histogram — no scan.
+        # The ledger's contract (covers every pending host, bins defined
+        # by hist_hints) makes unknown-host detection moot here.
+        by_host = {hh: dict(bins) for hh, bins in hist_counts.items() if bins}
+        missing = set(by_host) - set(bounds)
+        if missing:
+            raise ValueError(
+                f"hist_counts hosts missing from hist_hints bounds: {sorted(missing)[:5]}"
+            )
+    else:
+        hist_src = pending if need is None else _host_subset(
+            pending, [r["host"] for r in need]
+        )
+        hist = with_bin(hist_src).groupBy("host", "_bin").count().collect()
+        for r in hist:
+            if r["_bin"] is None:
+                unknown[r["host"]] = unknown.get(r["host"], 0) + r["count"]
+            else:
+                by_host.setdefault(r["host"], {})[r["_bin"]] = r["count"]
     need_hosts = sorted(by_host)
     thr_bin: dict[str, int] = {}
     remaining: dict[str, int] = {}
@@ -536,11 +569,27 @@ def _schedule_histogram_topk(
     # a host's scheduled rows are exactly {bin > B} ∪ {bin == B ∩ taken};
     # take_all hosts were scheduled entirely
     out.hist_thresholds = dict(thr_bin)
+    # post-schedule bin-count ledger: what the caller's pending set holds
+    # AFTER it retires this winner set — bins above B emptied, bin B down
+    # by the boundary take, fully-drained hosts dropped. Valid as next
+    # tick's hist_counts iff the caller's only other pending mutations are
+    # deltas it bins itself (Crawl's maturity ledger / enqueue binning).
+    new_counts: dict[str, dict[int, int]] = {}
+    for hh, bins in by_host.items():
+        B = thr_bin[hh]
+        left = {bn: c for bn, c in bins.items() if bn < B}
+        rem_at_b = bins[B] - remaining[hh]
+        if rem_at_b > 0:
+            left[B] = rem_at_b
+        if left:
+            new_counts[hh] = left
+    out.hist_counts = new_counts
     out.consumed_hosts = list(take_all)
     if unknown:
         out.hist_thresholds.update(getattr(sub, "hist_thresholds", {}))
         out.consumed_hosts += getattr(sub, "consumed_hosts", [])
         out.hist_hints.update(getattr(sub, "hist_hints", {}))
+        out.hist_counts.update(getattr(sub, "hist_counts", {}))
     return out
 
 
@@ -790,6 +839,7 @@ class Crawl:
         gc_terminal: bool = True,
         seen_backend: str = "bloom",
         checkpoint_interval: int = 1,
+        carry_counts: bool = True,
     ):
         """``gc_terminal`` (default True): GC successfully-processed rows
         out of the frontier in the same MERGE pass, so frontier bytes track
@@ -841,6 +891,24 @@ class Crawl:
         # HINT_REFRESH_GENS generations to bound staleness-driven bin
         # imbalance (stale hints stay EXACT — they only degrade bin balance)
         self.hist_hints: dict[str, tuple[float, float]] = {}
+        # per-host bin-count ledger (counts-carry): when valid, a steady-
+        # state generation runs ONE pending scan (candidate materialization
+        # only — the histogram scan is replaced by driver arithmetic). The
+        # ledger is valid only while the engine can account for every
+        # pending-set mutation itself:
+        #   - scheduled rows retiring: deducted by the scheduler in bin space
+        #   - hop enqueues: binned with one O(additions) job and folded in
+        #   - retries/throttles: time-driven re-entry the ledger can't see —
+        #     carry is BLOCKED until the maturity horizon passes and a scan
+        #     rebuilds the ledger
+        #   - external writers (watch/periodic enqueue, GC, promote): the
+        #     ledger is anchored to the frontier snapshot id it described;
+        #     any unaccounted snapshot change invalidates it
+        # Not persisted: a resumed crawl rescans on its first generation.
+        self.carry_counts = carry_counts
+        self.hist_counts: dict[str, dict[int, int]] | None = None
+        self._counts_snapshot: int | None = None
+        self._carry_block_until = 0.0
         self._hits_ranked = rank_jsdelivr_hits(universe["jsdelivr_hits"]).cache()
 
     # -- seeding -------------------------------------------------------------
@@ -893,6 +961,11 @@ class Crawl:
         self.hist_hints = {
             h: (float(v[0]), float(v[1])) for h, v in (st.hist_hints or {}).items()
         }
+        # the bin-count ledger is deliberately NOT persisted: a resumed
+        # crawl's first generation rescans (the rollback may cross
+        # generations the in-memory ledger accounted for)
+        self.hist_counts = None
+        self._counts_snapshot = None
         snaps = st.snapshots
         self.frontier.rollback(snaps.get("frontier") or None)
         self.packages.rollback(snaps.get("packages") or None)
@@ -1131,6 +1204,25 @@ class Crawl:
         hints = self.hist_hints or None
         if generation % HINT_REFRESH_GENS == 0:
             hints = None
+        # counts-carry gate (see __init__ ledger notes): the bin-count
+        # ledger replaces the histogram scan only when the engine accounted
+        # for every pending mutation since the ledger was produced — no
+        # paused hosts, no un-matured retries/throttles, and the frontier
+        # snapshot is exactly the one the ledger described
+        carry_live = (
+            self.carry_counts
+            and not self.host_pauses
+            and time.time() > self._carry_block_until
+        )
+        counts = None
+        if (
+            carry_live
+            and hints is not None
+            and self.hist_counts is not None
+            and self.frontier.current_snapshot_id() == self._counts_snapshot
+        ):
+            counts = self.hist_counts
+        aside_counts: dict[str, dict[int, int]] = {}
         if budgets_override is not None:
             # ledger mode: hosts with an exhausted window budget are not
             # even scanned; the rest get their absolute remaining budget
@@ -1141,18 +1233,39 @@ class Crawl:
                 metrics["scheduled_by_host"] = {}
                 return metrics
             pending = _host_subset(pending, sorted(live))
+            if counts is not None:
+                # the scheduler sees only live hosts; set-aside entries
+                # rejoin the ledger after the tick
+                aside_counts = {h: v for h, v in counts.items() if h not in live}
+                counts = {h: v for h, v in counts.items() if h in live}
             sched_raw = politeness_schedule(
                 pending, live, default_budget=0, budget_multiplier=1,
-                hist_hints=hints,
+                hist_hints=hints, hist_counts=counts,
             )
         else:
             sched_raw = politeness_schedule(
                 pending, self.budgets, budget_multiplier=self.budget_multiplier,
-                hist_hints=hints,
+                hist_hints=hints, hist_counts=counts,
             )
         new_hints = getattr(sched_raw, "hist_hints", None)
         if new_hints:
             self.hist_hints = dict(new_hints)
+        new_ledger = getattr(sched_raw, "hist_counts", None)
+        if not carry_live:
+            new_ledger = None
+        elif budgets_override is not None:
+            # a scan over the live-host SUBSET cannot seed a full ledger;
+            # keep it only when this tick consumed a carried one
+            new_ledger = (
+                {**aside_counts, **new_ledger}
+                if (counts is not None and new_ledger is not None)
+                else None
+            )
+        self.hist_counts = new_ledger
+        # anchor now (the table is still the state the ledger describes);
+        # re-anchored at generation end after this generation's own writes
+        self._counts_snapshot = self.frontier.current_snapshot_id()
+        metrics["hist_counts_carried"] = counts is not None
         # robots.txt: disallowed URLs are terminal, never fetched. Flagging
         # (instead of splitting) lets one aggregation produce both the
         # scheduled and the blocked counts — per-generation driver actions
@@ -1285,6 +1398,14 @@ class Crawl:
                 df.unpersist()
             return metrics
         metrics["deduped"] = n_scheduled - metrics["robots_blocked"] - sum(kc.values())
+        # retries/throttles re-enter pending when their next_attempt_at
+        # matures — a mutation the ledger cannot see. Drop it now; the
+        # carry block-until is set at generation end (after the MERGE that
+        # stamps the actual timestamps), and the first post-horizon scan
+        # rebuilds the ledger.
+        had_maturities = bool(sc.get("retry") or sc.get("throttled"))
+        if had_maturities:
+            self.hist_counts = None
         n_ok = sc.get("ok", 0)
         metrics["registry_ok"] = n_ok
         metrics["registry_retry"] = sc.get("retry", 0)
@@ -1545,10 +1666,31 @@ class Crawl:
             additions = filter_new_urls(
                 self.frontier, spark, additions, sorted(hop_hosts)
             )
+            if self.hist_counts is not None:
+                # counts-carry: snapshot the enqueued rows (the dedup probe
+                # above reads the frontier, so a lazy re-execution after the
+                # append would see its own output — checkpoint breaks that)
+                # and fold their bins into the ledger with one O(additions)
+                # collect. A host outside the hints bounds (null bin) can't
+                # be binned — the ledger drops and the next tick rescans.
+                additions = additions.localCheckpoint(eager=True)
             self.frontier.append(
                 additions.select(*[f.name for f in FRONTIER.fields]),
                 meta={"generation": generation},
             )
+            if self.hist_counts is not None:
+                folds: list[tuple[str, int, int]] = []
+                for r in additions.groupBy(
+                    "host", histogram_bin_expr(self.hist_hints).alias("_bin")
+                ).count().collect():
+                    if r["_bin"] is None:
+                        folds = []
+                        self.hist_counts = None
+                        break
+                    folds.append((r["host"], r["_bin"], r["count"]))
+                for hh, bn, c in folds:
+                    bins = self.hist_counts.setdefault(hh, {})
+                    bins[bn] = bins.get(bn, 0) + c
         if notfound_urls:
             # moved_by: which job/generation quarantined the row (reference
             # tags moved records `movedBy`, src/algolia/index.ts:64-93)
@@ -1557,6 +1699,18 @@ class Crawl:
             )
             self.not_found.append(nf_rows, meta={"generation": generation})
 
+        if had_maturities:
+            # anchored AFTER the MERGE stamped next_attempt_at; +1 covers
+            # the driver-vs-plan current_timestamp skew within one box
+            self._carry_block_until = max(
+                self._carry_block_until,
+                time.time() + (max(HOST_PAUSE_S, BACKOFF_CAP_S) + 1) * self.backoff_scale,
+            )
+        # re-anchor the ledger to the post-write table state: every write
+        # this generation made is accounted for above; anything ELSE that
+        # moves the snapshot (watch/periodic enqueue, GC, promote) will
+        # mismatch and force a rescan
+        self._counts_snapshot = self.frontier.current_snapshot_id()
         metrics["elapsed_s"] = round(time.time() - t0, 3)
         metrics["throughput_urls_per_s"] = round(n_scheduled / max(metrics["elapsed_s"], 1e-9), 1)
         for df in (flagged, fresh, reg_fetched):

@@ -91,6 +91,73 @@ class TestPolitenessSchedule:
         # hist_hints so the next tick schedules it on the fast path
         assert sched.hist_hints.get("h1.org") == (11.0, 50.0)
 
+    def test_counts_carry_schedules_identically_across_generations(self, spark):
+        """Counts-carry contract: when the caller's pending set changed
+        only by retiring the previous winner set, passing back the
+        scheduler's hist_counts ledger (no histogram scan at all) must
+        schedule the IDENTICAL winner set as a fresh histogram scan, for
+        every generation of a drain — including a host that fully drains
+        mid-way (it must drop out of the ledger)."""
+        rows = (
+            [(f"https://h0.org/p{i:05d}", "h0.org", float((i * 7) % 4999)) for i in range(5000)]
+            + [(f"https://h1.org/q{i:05d}", "h1.org", float((i * 13) % 3001)) for i in range(3000)]
+            + [(f"https://h2.org/r{i:05d}", "h2.org", float(i)) for i in range(50)]
+        )
+        base = spark.createDataFrame(
+            rows, "url string, host string, priority double"
+        ).cache()
+        base.count()
+
+        def drain(carry: bool) -> list[list[str]]:
+            pending = base
+            hints = None
+            counts = None
+            per_gen: list[list[str]] = []
+            for g in range(4):
+                sched = politeness_schedule(
+                    pending, {}, default_budget=700, strategy="histogram",
+                    hist_hints=hints,
+                    hist_counts=counts if (carry and g > 0) else None,
+                )
+                urls = sorted(r["url"] for r in sched.collect())
+                per_gen.append(urls)
+                assert sched.scheduled_count == len(urls)
+                hints = sched.hist_hints or hints
+                counts = getattr(sched, "hist_counts", None)
+                if not urls:
+                    break
+                retired = spark.createDataFrame(
+                    [(u,) for u in urls], "url string"
+                )
+                pending = pending.join(F.broadcast(retired), "url", "left_anti")
+            return per_gen
+
+        fresh = drain(carry=False)
+        carried = drain(carry=True)
+        assert carried == fresh
+        # h2 (50 rows < budget) drains in generation 1 and must leave the
+        # carried ledger entirely
+        sched0 = politeness_schedule(
+            base, {}, default_budget=700, strategy="histogram",
+        )
+        assert "h2.org" not in sched0.hist_counts
+        # ledger totals must equal the surviving pending rows per host
+        lived = {
+            hh: sum(bins.values()) for hh, bins in sched0.hist_counts.items()
+        }
+        assert lived == {"h0.org": 5000 - 700, "h1.org": 3000 - 700}
+
+    def test_counts_carry_requires_hints(self, spark):
+        df = spark.createDataFrame(
+            [("https://h0.org/a", "h0.org", 1.0)],
+            "url string, host string, priority double",
+        )
+        with pytest.raises(ValueError, match="hist_counts requires"):
+            politeness_schedule(
+                df, {}, default_budget=10, strategy="histogram",
+                hist_counts={"h0.org": {0: 1}},
+            )
+
     def test_hints_skip_stats_job_and_schedule_identically(self, spark):
         """Steady-state contract (the engine loop's hint reuse): scheduling
         with carried-over bounds runs EXACTLY one fewer Spark job (the
@@ -339,6 +406,48 @@ class TestSteadyStateHints:
         assert c2.hist_hints == {
             h: (float(v[0]), float(v[1])) for h, v in st.hist_hints.items()
         }
+
+
+class TestCountsCarryEngine:
+    def test_bootstrap_equivalence_and_engagement(
+        self, spark, universe, tmp_path, monkeypatch
+    ):
+        """The engine loop's counts-carry ledger must (a) change NOTHING
+        about what a bootstrap produces — packages, seen set, per-gen
+        scheduled counts are byte-identical with the ledger on and off —
+        and (b) actually engage (a generation scheduling real rows without
+        a histogram scan) once the hop host set stabilizes."""
+        # force the histogram regime at fixture scale so budgets (12-40)
+        # bite against the 60-doc registry queue across generations
+        monkeypatch.setattr(FR, "SMALL_BUDGET_MAX", 4)
+
+        def run(root: str, carry: bool):
+            c = Crawl(
+                spark, str(tmp_path / root), universe, 10_000_000,
+                budget_multiplier=2, backoff_scale=0.02,
+                transient_modulus=0, throttle_modulus=0, carry_counts=carry,
+            )
+            c.seed(universe["raw_docs"].select("doc_id"))
+            m = c.run_bootstrap(max_generations=8, log=None)
+            pk = sorted(
+                r["objectID"]
+                for r in c.packages.read(spark).select("objectID").collect()
+            )
+            seen = sorted(
+                r["url"] for r in c.seen.table.read(spark).select("url").collect()
+            )
+            return pk, seen, [g.get("scheduled") for g in m], [
+                (g.get("hist_counts_carried"), g.get("scheduled")) for g in m
+            ]
+
+        pk1, seen1, sched1, car1 = run("carry", True)
+        pk0, seen0, sched0, car0 = run("nocarry", False)
+        assert pk1 == pk0
+        assert seen1 == seen0
+        assert sched1 == sched0
+        assert not any(c for c, _ in car0)
+        # at least one generation scheduled real rows off the carried ledger
+        assert any(c and (n or 0) > 0 for c, n in car1), car1
 
 
 class TestRetryClasses:
