@@ -200,6 +200,55 @@ class TestPolitenessSchedule:
         assert warm_jobs < cold_jobs
         df.unpersist()
 
+    def test_counts_carry_skips_histogram_job(self, spark):
+        """Counts-carry contract, job-count form: a tick fed the previous
+        tick's bin-count ledger must also drop the histogram agg-collect
+        (two more Spark jobs under AQE) while scheduling the identical
+        winner set over the retired pending — ONE scan of pending remains
+        (the candidate materialization)."""
+        rows = [
+            (f"https://h0.org/p{i:04d}", "h0.org", float((i * 7) % 997))
+            for i in range(3000)
+        ] + [
+            (f"https://h1.org/q{i:04d}", "h1.org", float((i * 13) % 991))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, host string, priority double"
+        ).cache()
+        df.count()
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+
+        # tick 1: fresh — captures bounds + the post-schedule ledger
+        first = politeness_schedule(
+            df, {}, default_budget=40, strategy="histogram",
+        )
+        gone = spark.createDataFrame(
+            [(r["url"],) for r in first.collect()], "url string"
+        )
+        pending2 = df.join(F.broadcast(gone), "url", "left_anti").cache()
+        pending2.count()
+
+        def run(group, counts):
+            sc.setJobGroup(group, group)
+            try:
+                sched = politeness_schedule(
+                    pending2, {}, default_budget=40, strategy="histogram",
+                    hist_hints=first.hist_hints, hist_counts=counts,
+                )
+                urls = sorted(r["url"] for r in sched.collect())
+            finally:
+                sc.setJobGroup(None, None)
+            return urls, len(tracker.getJobIdsForGroup(group))
+
+        scan_urls, scan_jobs = run("carry-cold", None)
+        carry_urls, carry_jobs = run("carry-warm", first.hist_counts)
+        assert carry_urls == scan_urls
+        assert scan_jobs - carry_jobs == 2  # the histogram agg-collect
+        for d in (df, pending2):
+            d.unpersist()
+
     def test_histogram_exact_at_10k_hosts(self, spark, monkeypatch):
         """Host-cardinality guard: above HIST_MAP_MAX_HOSTS the histogram
         scheduler must not embed per-host literals (create_map of 10k
