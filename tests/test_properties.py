@@ -102,6 +102,62 @@ class TestPolitenessExactness:
             }
             assert got == expected, f"strategy={strategy}"
 
+    @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(HOSTS),
+                st.integers(min_value=0, max_value=50),  # priority (ties likely)
+                st.integers(min_value=0, max_value=10_000),
+            ),
+            min_size=20,
+            max_size=150,
+        ),
+        st.integers(min_value=1, max_value=9),  # default budget
+    )
+    def test_counts_carry_drain_matches_bruteforce(self, spark, rows, budget):
+        """Multi-generation drain under counts-carry equals the Python
+        reference drain generation by generation: the carried bin-count
+        ledger must keep scheduling EXACTLY the top-budget-per-host of
+        whatever is left, across random frontiers with heavy priority
+        ties (boundary bins full of duplicates) until drained."""
+        from npm_search_spark.frontier import politeness_schedule
+
+        data = [(f"https://{h}/p{u}", h, float(p)) for (h, p, u) in rows]
+        data = list({d[0]: d for d in data}.values())  # unique urls
+        df = spark.createDataFrame(data, "url string, host string, priority double")
+
+        by_host: dict[str, list] = {}
+        for url, h, p in data:
+            by_host.setdefault(h, []).append((url, p))
+        for items in by_host.values():
+            items.sort(key=lambda t: (-t[1], t[0]))
+
+        pending = df
+        hints = None
+        counts = None
+        taken: dict[str, int] = {}
+        for _gen in range(4):
+            sched = politeness_schedule(
+                pending, {}, default_budget=budget, strategy="histogram",
+                hist_hints=hints, hist_counts=counts,
+            )
+            got = sorted(r["url"] for r in sched.collect())
+            expected = sorted(
+                u
+                for h, items in by_host.items()
+                for u, _ in items[taken.get(h, 0): taken.get(h, 0) + budget]
+            )
+            assert got == expected, f"generation {_gen}"
+            if not got:
+                break
+            for h, items in by_host.items():
+                taken[h] = min(taken.get(h, 0) + budget, len(items))
+            hints = sched.hist_hints or hints
+            counts = getattr(sched, "hist_counts", None)
+            retired = spark.createDataFrame([(u,) for u in got], "url string")
+            pending = pending.join(F.broadcast(retired), "url", "left_anti")
+
 
 class TestBloomProperties:
     @settings(max_examples=50, deadline=None)
