@@ -499,6 +499,68 @@ class TestCountsCarryEngine:
         assert any(c and (n or 0) > 0 for c, n in car1), car1
 
 
+    def test_ledger_mode_subset_carry_and_snapshot_invalidation(
+        self, spark, universe, tmp_path, monkeypatch
+    ):
+        """Two corners of the engine ledger: (a) budgets_override (the
+        watch per-trigger-window path) schedules off a SUBSET of the
+        carried ledger — set-aside hosts must rejoin it and later full
+        generations must still schedule identically to a no-carry run;
+        (b) an external frontier write (watch/periodic enqueue) moves the
+        snapshot anchor and must force a rescan, never a stale carry."""
+        monkeypatch.setattr(FR, "SMALL_BUDGET_MAX", 4)
+        ov = {
+            "registry.npmjs.org": 7,
+            "cdn.jsdelivr.net": 0,  # exhausted window: not even scanned
+            "raw.githubusercontent.com": 5,
+            "gitlab.com": 5,
+            "bitbucket.org": 5,
+        }
+
+        def run(root: str, carry: bool):
+            c = Crawl(
+                spark, str(tmp_path / root), universe, 10_000_000,
+                budget_multiplier=2, backoff_scale=0.02,
+                transient_modulus=0, throttle_modulus=0, carry_counts=carry,
+            )
+            c.seed(universe["raw_docs"].select("doc_id"))
+            # gens 1-4 full: new hop hosts appear through gen 3 (each
+            # first-seen host's enqueue legitimately drops the ledger — the
+            # contract is "covers every pending host"), so the first
+            # carryable ledger exists after gen 4
+            ms = [c.run_generation(g) for g in (1, 2, 3, 4)]
+            ms += [c.run_generation(g, budgets_override=ov) for g in (5, 6)]
+            ms.append(c.run_generation(7))  # full again: asides must rejoin
+            return c, ms
+
+        c1, ms1 = run("carry", True)
+        c0, ms0 = run("nocarry", False)
+        assert [m.get("scheduled") for m in ms1] == [m.get("scheduled") for m in ms0]
+        assert [m.get("scheduled_by_host") for m in ms1] == [
+            m.get("scheduled_by_host") for m in ms0
+        ]
+        carried = [m.get("hist_counts_carried") for m in ms1]
+        assert any(carried[4:6]), carried  # an override tick consumed a carry
+        assert carried[6], carried  # asides rejoined: the full gen carried too
+
+        # (b) an external append (what watch/periodic enqueue does) must
+        # invalidate the anchor: the next generation rescans
+        if c1.hist_counts is None:
+            c1.run_generation(8)  # rebuild a live ledger first
+        assert c1.hist_counts is not None
+        extra = spark.createDataFrame(
+            [(
+                "https://registry.npmjs.org/extra-pkg", "registry.npmjs.org",
+                "registry_doc", "extra-pkg", 5.0, 0, "pending", None, 0,
+                (0, 0, 99),
+            )],
+            c1.frontier.read(spark).schema,
+        )
+        c1.frontier.append(extra, meta={"op": "external-enqueue"})
+        m = c1.run_generation(9)
+        assert m.get("hist_counts_carried") is False
+
+
 class TestRetryClasses:
     def test_429_pauses_whole_host_without_burning_retries(self, spark, universe, tmp_path):
         """T5 throttle class (reference src/npm/index.ts:213-227): a 429
