@@ -345,6 +345,12 @@ def main() -> int:
     ap.add_argument("--scaling-drain-passes", type=int, default=3,
                     help="timed drain passes per parallelism level in --scaling mode "
                          "(a warmup pass is always added); lower for large inputs")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="--scaling mode: do NOT cpu-affinity-pin each child to its "
+                         "core count (pinning is the default: local[c] in an unpinned "
+                         "32-core JVM lets GC/netty/Python workers borrow idle box "
+                         "cores a real c-executor cluster would not have, deflating "
+                         "the base level's wall time and the measured efficiency)")
     args = ap.parse_args()
 
     if args.scaling:
@@ -422,9 +428,17 @@ def run_scaling(args) -> int:
     base, big = args.scaling_base, args.scaling_base * 4
     points = sorted({base, big, 32})
     results = {}
+    import shutil as _sh
+
+    pin = (not args.no_pin) and _sh.which("taskset") is not None
     for cores in points:
+        # a "c-core cluster" gets exactly c cores for EVERYTHING — task
+        # threads, GC, netty, Python workers. JDK 17 sizes its pools from
+        # the affinity mask, so taskset makes each level a faithful c-core
+        # machine instead of c task threads on a 32-core JVM.
+        prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
         out = subprocess.run(
-            [
+            prefix + [
                 sys.executable, __file__, "--cores", str(cores),
                 "--n-urls", str(args.n_urls), "--frontier-only", "--with-probe",
                 "--probe-urls", str(args.probe_urls),
@@ -515,12 +529,14 @@ def run_scaling(args) -> int:
         "parallel_work_s": w_par,
         "base_cores": base,
         "big_cores": big,
+        "pinned": pin,
     }
     with open(points_path, "w") as f:
         json.dump(points_hist, f, indent=1, sort_keys=True)
     size_rows = "\n".join(
         f"| {int(k):,} | {v['drain_eff']} | {v['t_base_s']} | {v['t_big_s']} | "
-        f"{v.get('cpu_inflation')} | {v.get('serial_floor_s')} | {v.get('parallel_work_s')} |"
+        f"{v.get('cpu_inflation')} | {v.get('serial_floor_s')} | {v.get('parallel_work_s')} | "
+        f"{'yes' if v.get('pinned') else 'no'} |"
         for k, v in sorted(points_hist.items(), key=lambda kv: int(kv[0]))
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -531,7 +547,11 @@ The two-cluster-size criterion (BASELINE.json: throughput scaling
 efficiency >= 0.8 from N to 4N executors) cannot use a real cluster in
 this sandbox; per the driver contract it is evidenced by running the SAME
 job on the SAME input at local[{base}] and local[{big}] (plus local[32]
-for the saturation point). Two probes, because a single shared-memory box
+for the saturation point). Each level runs cpu-affinity-pinned to exactly
+its core count (`taskset -c 0-(c-1)`; pinned={pin}) so GC, netty and
+Python workers cannot borrow idle box cores a real c-executor cluster
+would not have — JDK 17 sizes its thread pools from the affinity mask.
+Two probes, because a single shared-memory box
 conflates two different regimes:
 
 ## 1. Production-regime scheduler (shuffle-free partial top-k)
@@ -587,8 +607,8 @@ measured cpu inflation ({cpu_inflation}x at {big} cores):
   ∞: {bus_ceiling} (the bus ceiling). Measured drain points (same harness,
   N={base} → 4N={big}), one row per input size across runs:
 
-| input URLs | measured eff | T({base}) s | T({big}) s | cpu inflation | serial floor S (s) | parallel work W (s) |
-|---|---|---|---|---|---|---|
+| input URLs | measured eff | T({base}) s | T({big}) s | cpu inflation | serial floor S (s) | parallel work W (s) | cpu-pinned |
+|---|---|---|---|---|---|---|---|
 {size_rows}
 
 ## Reading the numbers
