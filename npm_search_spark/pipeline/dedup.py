@@ -105,8 +105,10 @@ def ngram_jaccard_pairs(
 
     ``max_df`` prunes posting lists longer than max_df documents before the
     self-join: a universally-common gram otherwise makes the equi-join
-    quadratic in corpus size. Pairs whose *only* overlap is such stop-grams
-    are missed — at any realistic threshold those are far below it, but the
+    quadratic in corpus size. The pruned index only *generates candidates*
+    — each candidate pair is then verified exactly against the full gram
+    sets (array_intersect), so reported jaccard is exact and a pair is
+    missed only if EVERY gram it shares is a stop-gram (df > max_df). The
     default (None) stays exact so the DuckDB oracle matches bit-for-bit."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
@@ -122,16 +124,37 @@ def ngram_jaccard_pairs(
         inv = inv.join(rare, "gram", "left_semi")
     a = inv.alias("a")
     b = inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    joined = a.join(
+        b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if max_df is not None:
+        # candidates-only: the pruned join just NAMES suspect pairs; the
+        # exact shared-gram count comes from an intersect over the full
+        # per-doc gram arrays (grams shuffled by doc_id — O(corpus), far
+        # smaller than the join output the exact mode aggregates)
+        cand = joined.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).distinct()
+        ga = grams.select(
+            F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"),
+            F.col("n_grams").alias("na"),
+        )
+        gb = grams.select(
+            F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"),
+            F.col("n_grams").alias("nb"),
+        )
+        shared = (
+            cand.join(ga, "doc_a").join(gb, "doc_b")
+            .withColumn("shared", F.size(F.array_intersect("_ga", "_gb")))
+            .drop("_ga", "_gb")
+        )
+    else:
+        shared = joined.groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n_grams").alias("na"),
             F.col("b.n_grams").alias("nb"),
-        )
-        .agg(F.count("*").alias("shared"))
-    )
+        ).agg(F.count("*").alias("shared"))
     return (
         shared.withColumn(
             "jaccard",
@@ -140,6 +163,35 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# posting lists longer than this are pruned by the scale entry point
+# before the inverted-index self-join. At web scale a gram shared by D
+# documents contributes D^2/2 candidate pairs to the join; ubiquitous
+# boilerplate grams (df ~ corpus size) make the exact mode quadratic.
+NGRAM_MAX_DF_AT_SCALE = 10_000
+
+
+def ngram_jaccard_pairs_at_scale(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    max_df: int = NGRAM_MAX_DF_AT_SCALE,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with the stop-gram cap ON by default — the
+    pipeline entry point for corpus-scale runs (the bare function's
+    ``max_df=None`` default stays exact for the DuckDB oracle).
+
+    Miss bound: a pair can be missed ONLY if *every* gram it shares occurs
+    in more than ``max_df`` documents. A pair at Jaccard >= t shares at
+    least t/(1+t) * (na+nb) grams, so a missed pair's entire overlap is
+    corpus-ubiquitous boilerplate; genuine near-duplicates share rare
+    content grams (df << max_df) and are found regardless of how common
+    their boilerplate is. Reported jaccard for *found* pairs is exact —
+    pruning only removes candidate-generating grams, the verification
+    recomputes the true ratio from full gram sets."""
+    return ngram_jaccard_pairs(df, threshold, n=n, text_col=text_col, max_df=max_df)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,23 @@ def test_calibration_md_renders_all_levels_and_markers():
     assert "400,000,000" in block
 
 
+def test_calibration_md_handles_missing_executor_metrics():
+    """When the REST metrics endpoint was unavailable, cpu_inflation is
+    None and task_time is empty — the block must render 'n/a', never
+    'Nonex' or a fake 0.0 cpu column (ADVICE r4)."""
+    cal = dict(
+        CAL,
+        cpu_inflation=None,
+        levels={
+            c: dict(lv, task_time={}) for c, lv in CAL["levels"].items()
+        },
+    )
+    block = bench.calibration_md(cal)
+    assert "Nonex" not in block
+    assert "(cpu-time inflation n/a)" in block
+    assert "| n/a |" in block
+
+
 def test_splice_inserts_before_reading_the_numbers():
     doc = "# BENCH\n\n## 2. Drain\ntable\n\n## Reading the numbers\n\n- x\n"
     block = bench.calibration_md(CAL)

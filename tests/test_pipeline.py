@@ -64,6 +64,37 @@ class TestDedup:
         assert capped == exact
         assert ngram_jaccard_pairs(near_dup_docs, threshold=0.5, max_df=1).count() == 0
 
+    def test_ngram_jaccard_scale_entry_point_verifies_exactly(self, spark, near_dup_docs):
+        """The at-scale entry point defaults the stop-gram cap ON, and any
+        pair it finds carries the EXACT jaccard (candidates from the pruned
+        index, verification over full gram sets) — even under an
+        aggressively small cap that prunes most posting lists."""
+        from npm_search_spark.pipeline.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_at_scale,
+        )
+
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+        }
+        # default cap (10k) >> fixture dfs: identical to exact mode
+        scale = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_at_scale(near_dup_docs, threshold=0.5).collect()
+        }
+        assert scale == exact
+        # tight cap: found pairs are a SUBSET, but their jaccard is exact
+        tight = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_at_scale(
+                near_dup_docs, threshold=0.5, max_df=2
+            ).collect()
+        }
+        assert set(tight) <= set(exact)
+        for pair, j in tight.items():
+            assert j == exact[pair]
+
     def test_doc_grams_null_and_empty_text(self, spark):
         """Nullable text anywhere in a batch (incl. TRAILING null — the
         reduceat-clip regression) must not shift neighbor boundaries: the
