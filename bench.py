@@ -107,11 +107,18 @@ def task_time_sums(spark) -> dict:
         return {}
 
 
-def make_preseeded_seen(spark, n_urls: int, tmp_root: str):
+def make_preseeded_seen(spark, n_urls: int, tmp_root: str, store_urls: bool = False):
     """Build the benchmark's pre-seeded URL-seen set ONCE (re-crawl
     scenario: ~1/3 of the URL space already crawled). Returns (seen,
     preseed_snapshot_id); later passes roll the table back to the snapshot
-    instead of rebuilding — setup cost, not measurement."""
+    instead of rebuilding — setup cost, not measurement.
+
+    ``store_urls`` defaults to False here (unlike the engine): the bench
+    measures the wide-key scale configuration — 128-bit (key, key2) rows,
+    ~20 B vs ~90 B with the url string — which is the config a 10^10-URL
+    deployment would run (VERDICT r4 #1: cut the drain's bytes-per-URL).
+    Crawl-result equivalence of the two modes is pinned by
+    tests/test_seen_modes.py; --seen-urls reverts to the url-row config."""
     from pyspark.sql import functions as F
 
     from npm_search_spark.seen import SeenSet
@@ -120,6 +127,7 @@ def make_preseeded_seen(spark, n_urls: int, tmp_root: str):
     seen = SeenSet(
         os.path.join(tmp_root, "seen"),
         expected_keys_per_bucket=max(n_urls // 256, 1000),
+        store_urls=store_urls,
     )
     pre = frontier.where(F.pmod(F.xxhash64("url"), F.lit(3)) == 0).select("url")
     seen.add(spark, pre)
@@ -278,35 +286,42 @@ def frontier_benchmark(
 def politeness_scaling_probe(
     spark, n_urls: int, passes: int = 6, max_passes: int = 12
 ) -> dict:
-    """The production-regime scheduler alone: shuffle-free Arrow partial
-    top-k over the full pending set (per-host budgets at their real-world
-    size). Pure scan+compute — the stage whose scaling is NOT bounded by
-    the single shared memory bus the shuffle path saturates.
+    """The production-regime scheduler alone: one COLD politeness tick
+    (auto strategy = the pure-JVM histogram threshold top-k, no carried
+    hints) over the full pending set at real-world per-host budgets.
+    Whole-stage-codegen scans and O(hosts x bins) aggregates — the stage
+    whose scaling is NOT bounded by the Arrow IPC boundary the previous
+    partial-top-k probe paid, nor the shared bus the shuffle path
+    saturates. Steady-state (hints + counts-carry) is measured by the
+    drain benchmark; this probe is the cold tick.
 
     Runs ``passes`` timed passes, then keeps going (up to ``max_passes``)
     while the best pass is still improving — at higher core counts the JIT
-    + Python-worker pool takes more passes to converge (r3's local[8] runs
-    were still monotonically descending at pass 5, understating the
-    steady-state throughput the efficiency ratio compares)."""
+    takes more passes to converge (r3's local[8] runs were still
+    monotonically descending at pass 5, understating the steady-state
+    throughput the efficiency ratio compares)."""
     from npm_search_spark.frontier import DEFAULT_BUDGETS, politeness_schedule
 
     pending = synth_frontier(spark, n_urls).repartition(64).persist()
     pending.count()
-    # plan built once, executed per pass — the steady-state shape of a
-    # long-running crawl (the driver re-executes, it does not re-plan)
-    sched = politeness_schedule(
-        pending, DEFAULT_BUDGETS, budget_multiplier=20, strategy="partial"
-    )
-    sched.count()  # warmup: codegen + Python worker pool, identical at every N
+
+    def one_pass() -> int:
+        # the scheduler is eager (stats + histogram scans + the candidate
+        # checkpoint run inside the call); count() forces the final carve
+        # of the checkpointed candidates — together one full schedule tick
+        sched = politeness_schedule(pending, DEFAULT_BUDGETS, budget_multiplier=20)
+        return sched.count()
+
+    one_pass()  # warmup: codegen + Python worker pool, identical at every N
     tt0 = task_time_sums(spark)
     t0 = time.time()
     n = 0
     pass_times = []
     while len(pass_times) < max_passes:
         p0 = time.time()
-        n = sched.count()
+        n = one_pass()
         pass_times.append(round(time.time() - p0, 3))
-        if len(pass_times) >= passes and min(pass_times[-2:]) > min(pass_times[:-2]):
+        if len(pass_times) >= max(passes, 3) and min(pass_times[-2:]) > min(pass_times[:-2]):
             break  # converged: the last two passes stopped improving the best
     elapsed = time.time() - t0
     tt1 = task_time_sums(spark)
@@ -360,7 +375,7 @@ def pure_compute_calibration(
         p0 = time.time()
         build(len(pass_times)).collect()
         pass_times.append(round(time.time() - p0, 3))
-        if len(pass_times) >= passes and min(pass_times[-2:]) > min(pass_times[:-2]):
+        if len(pass_times) >= max(passes, 3) and min(pass_times[-2:]) > min(pass_times[:-2]):
             break  # converged: the last two passes stopped improving the best
     elapsed = time.time() - t0
     tt1 = task_time_sums(spark)
@@ -406,6 +421,9 @@ def main() -> int:
     ap.add_argument("--calibrate-rows", type=int,
                     default=int(os.environ.get("BENCH_CALIBRATE_ROWS", "400000000")))
     ap.add_argument("--calibrate-rounds", type=int, default=32)
+    ap.add_argument("--seen-urls", action="store_true",
+                    help="drain with url-row seen set (engine default) instead "
+                         "of the wide-key (key, key2) scale configuration")
     ap.add_argument("--no-pin", action="store_true",
                     help="--scaling mode: do NOT cpu-affinity-pin each child to its "
                          "core count (pinning is the default: local[c] in an unpinned "
@@ -462,7 +480,9 @@ def main() -> int:
         # the pre-seeded seen set is built ONCE and rolled back to its
         # preseed snapshot per pass — identical starting state without
         # paying the (untimed but wall-clock-heavy) rebuild every pass
-        seen, seen_snap = make_preseeded_seen(spark, args.n_urls, tmp)
+        seen, seen_snap = make_preseeded_seen(
+            spark, args.n_urls, tmp, store_urls=args.seen_urls
+        )
         for i in range(n_passes + (1 if n_passes > 1 else 0)):
             r = frontier_benchmark(
                 spark, args.n_urls, tmp,
@@ -772,13 +792,15 @@ would not have — JDK 17 sizes its thread pools from the affinity mask.
 Two probes, because a single shared-memory box
 conflates two different regimes:
 
-## 1. Production-regime scheduler (shuffle-free partial top-k)
+## 1. Production-regime scheduler (cold tick, JVM threshold top-k)
 
 The politeness operator as a real crawl runs it — per-host budgets at
-their real-world size (6-20 req/s x trigger), scheduled via the Arrow
-partial-top-k path: one narrow scan of all {args.probe_urls:,} pending
-URLs, NO shuffle, winners broadcast back. This is the stage that dominates
-a 10^10-URL frontier tick.
+their real-world size (6-20 req/s x trigger), scheduled via the auto
+(histogram threshold top-k) path with no carried hints: whole-stage-
+codegen stats + histogram scans of all {args.probe_urls:,} pending URLs,
+shuffling only O(hosts x bins) aggregate rows, winners carved by a narrow
+threshold filter. This is the cold tick of a 10^10-URL frontier; the
+steady-state (hints + counts-carry) tick is measured by the drain below.
 
 | parallelism | URLs ranked/s (best pass) | best pass (s) | all pass times (s) | cpu-time sum (s) |
 |---|---|---|---|---|

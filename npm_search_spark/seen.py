@@ -42,6 +42,16 @@ from .functions.urls import N_SEEN_BUCKETS, canonicalize_url, url_bucket, url_ke
 from .tables import SnapTable
 
 SEEN_SCHEMA = "bucket int, key long, url string"
+# wide-key mode (store_urls=False): no url column in the hot path — identity
+# is the 128-bit (key, key2) pair, where key2 is an independently-salted
+# xxhash64. ~20 B/row vs ~90 B/row: the drain's dedup shuffle, checkpoint,
+# delta broadcast and parquet append all shed the ~70 B url payload that was
+# pure memory-bus load (VERDICT r4 "Next round" #1).
+SEEN_SCHEMA_WIDE = "bucket int, key long, key2 long"
+# a distinct leading literal makes key2 = xxhash64(salt, url) statistically
+# independent of key = xxhash64(url); pair-collision odds are 2^-128 per
+# candidate pair (at 10^10 seen keys vs a 10^7 batch: ~3e-22 expected)
+_KEY2_SALT = "seen-k2:"
 
 
 def _murmur3_int(x: int, seed: int = 42) -> int:
@@ -162,6 +172,40 @@ class BloomShards:
         return out
 
 
+class _OffsetFilter:
+    """A contiguous bucket-range slice of a dense prefilter — the unit a
+    sharded broadcast ships (~filter_bytes / n_ranges each). Buckets passed
+    to ``might_contain`` stay absolute; the slice re-bases them."""
+
+    def __init__(self, inner, lo: int):
+        self.inner = inner
+        self.lo = lo
+
+    def might_contain(self, buckets: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        return self.inner.might_contain(buckets - self.lo, keys)
+
+
+def _slice_filter(flt, lo: int, hi: int) -> _OffsetFilter:
+    """Copy buckets [lo, hi) of a DenseBloom/DenseCuckoo into a standalone
+    slice whose pickle is exactly the slice's bytes."""
+    if isinstance(flt, DenseBloom):
+        s = DenseBloom(flt.m, flt.k, hi - lo)
+        s.bits = np.ascontiguousarray(flt.bits[lo:hi])
+    else:
+        s = DenseCuckoo(flt.n, hi - lo)
+        s.table = np.ascontiguousarray(flt.table[lo:hi])
+        s.stash = {(b - lo, r, f) for (b, r, f) in flt.stash if lo <= b < hi}
+    return _OffsetFilter(s, lo)
+
+
+def _range_bounds(rid: int, n_ranges: int, n_buckets: int) -> tuple[int, int]:
+    """Bucket bounds [lo, hi) of range ``rid`` under the floor(bucket * R /
+    NB) range id used everywhere (append clustering, candidate alignment)."""
+    lo = -((-rid * n_buckets) // n_ranges)
+    hi = -((-(rid + 1) * n_buckets) // n_ranges)
+    return lo, hi
+
+
 class SeenSet:
     def __init__(
         self,
@@ -170,6 +214,8 @@ class SeenSet:
         fp_rate: float = 0.01,
         n_buckets: int = N_SEEN_BUCKETS,
         backend: str = "bloom",
+        store_urls: bool = True,
+        n_ranges: int = 0,
     ):
         """``backend``: the in-memory prefilter implementation.
 
@@ -179,12 +225,32 @@ class SeenSet:
         - ``"cuckoo"``: cuckoo.DenseCuckoo — ~19 bits/key, fp ≈ 0.012 %,
           2-row lookups, and **exact O(1) deletion** so `remove()` keeps
           the filter tight (package deletions, bootstrap redo).
+
+        ``store_urls``: True (default) keeps the url column in the exact
+        table — byte-exact dedup and url forensics (J9 debugging). False
+        is the wide-key scale mode: rows are (bucket, key, key2) with
+        128-bit identity, so the hot path never shuffles/writes/broadcasts
+        url strings (~4.5x fewer bytes per row). Both modes produce
+        identical crawl results (tests/test_seen_modes.py equivalence).
+
+        ``n_ranges``: 0 (default) broadcasts the dense prefilter whole —
+        right for local mode and small tables. >0 is the sharded scale
+        mode: the filter is broadcast as ``n_ranges`` bucket-range slices,
+        candidates are range-aligned with ONE small shuffle (the exact
+        token partitioner — no sampling pass), and each task dereferences
+        ONLY the slice broadcasts covering its partition's bucket range —
+        so at the 10^10-key north star (~1.5 GiB of filter at 1% fp) a
+        worker fetches ~filter/n_ranges bytes per range it owns instead of
+        the whole 1.5 GiB, and a flush invalidates (re-ships) only the
+        slices whose buckets changed. tests/test_seen_sharded.py pins the
+        touch-only-your-range property with poisoned foreign slices.
         """
         from pyspark.sql import types as T
 
         if backend not in ("bloom", "cuckoo"):
             raise ValueError(f"unknown seen-set backend {backend!r}")
-        schema = T.StructType.fromDDL(SEEN_SCHEMA)
+        self.store_urls = store_urls
+        schema = T.StructType.fromDDL(SEEN_SCHEMA if store_urls else SEEN_SCHEMA_WIDE)
         # per-file bucket min/max in the manifest: the exact check prunes
         # files driver-side by the suspects' buckets before any I/O
         self.table = SnapTable(root, schema, stats_cols=["bucket"])
@@ -198,22 +264,70 @@ class SeenSet:
         self._bloom: DenseBloom | DenseCuckoo | None = None
         self._bloom_snapshot: int | None = None
         self._bloom_bc = None  # cached spark broadcast of the dense filter
+        if n_ranges and not 0 < n_ranges <= n_buckets:
+            raise ValueError(f"n_ranges must be in (0, {n_buckets}]")
+        self.n_ranges = int(n_ranges)
+        # sharded mode: one broadcast per bucket range; a fold marks only
+        # the touched ranges dirty, so flushes re-ship slice bytes, never
+        # the whole filter
+        self._range_bcs: list = []
+        self._range_dirty: set[int] = set()
         # group-commit buffer: keyed (bucket,key,url) batches added with
         # defer=True, localCheckpointed, awaiting one flush() append
         self._pending: list[DataFrame] = []
         # driver-side (bucket, key) arrays of the same batches. Pending keys
-        # are prefiltered via a SMALL sorted-key delta broadcast, NOT by
-        # folding into the dense filter: a fold would invalidate the big
-        # filter's broadcast and force every Python worker to re-fetch
+        # are made visible via SMALL per-batch sorted-key delta broadcasts,
+        # NOT by folding into the dense filter: a fold would invalidate the
+        # big filter's broadcast and force every Python worker to re-fetch
         # O(table) bits each micro-batch — a per-worker tax that grows with
-        # cluster size (the 4N-executor cluster pays 4x). The delta is
-        # O(pending) bytes and exact; the dense filter's broadcast stays
-        # stable until flush().
+        # cluster size (the 4N-executor cluster pays 4x). Each deferred
+        # batch gets its OWN broadcast, created once and kept until flush —
+        # a worker's per-generation fetch is O(batch), never a re-sorted
+        # re-broadcast O(total pending). In wide-key mode the delta carries
+        # (sorted keys, aligned key2) so membership is 128-bit EXACT and
+        # pending resolution needs no join against the buffered batches.
         self._pending_arrays: list[tuple[np.ndarray, np.ndarray]] = []
-        self._delta_keys: np.ndarray | None = None  # sorted pending keys
-        self._delta_bc = None
+        self._delta_bcs: list = []
 
     # -- bloom maintenance ---------------------------------------------------
+
+    def _invalidate_filter_broadcasts(self, buckets=None) -> None:
+        """Mark cached prefilter broadcasts stale after a fold/delete.
+        ``buckets``: the touched bucket ids — sharded mode dirties only
+        their ranges (None = everything, e.g. a full rebuild)."""
+        if self._bloom_bc is not None:
+            # unpersist, NOT destroy: lazy plans built before this update
+            # may still reference the old broadcast and must re-fetch it
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
+        if not self.n_ranges:
+            return
+        if buckets is None:
+            self._range_dirty.update(range(self.n_ranges))
+            return
+        b = np.asarray(buckets, dtype=np.int64)
+        if len(b):
+            rids = np.unique(b * self.n_ranges // self.n_buckets)
+            self._range_dirty.update(int(r) for r in rids)
+
+    def _range_broadcasts(self, spark: SparkSession) -> list:
+        """The per-bucket-range slice broadcasts (sharded mode). Only dirty
+        ranges are re-sliced and re-broadcast; a steady-state flush touches
+        the ranges its keys landed in and leaves every other slice's
+        broadcast (and the workers' cached copies) untouched."""
+        self._bloom_current(spark)
+        if not self._range_bcs:
+            self._range_bcs = [None] * self.n_ranges
+            self._range_dirty = set(range(self.n_ranges))
+        for rid in sorted(self._range_dirty):
+            lo, hi = _range_bounds(rid, self.n_ranges, self.n_buckets)
+            if self._range_bcs[rid] is not None:
+                self._range_bcs[rid].unpersist()
+            self._range_bcs[rid] = spark.sparkContext.broadcast(
+                _slice_filter(self._bloom, lo, hi)
+            )
+        self._range_dirty.clear()
+        return list(self._range_bcs)
 
     def _shards_of(self, df: DataFrame) -> list:
         """Per-partition filter shards via mapInArrow -> (bucket, bits,
@@ -275,12 +389,7 @@ class SeenSet:
                 ov = np.frombuffer(r["overflow"] or b"", dtype=np.int64)
                 for row, fp in ov.reshape(-1, 2):
                     self._bloom.reinsert_pair(r["bucket"], int(row), int(fp))
-        if self._bloom_bc is not None:
-            # unpersist, NOT destroy: lazy plans built before this update
-            # (e.g. the fresh batch reused after seen.add) may still
-            # reference the old broadcast and must be able to re-fetch it
-            self._bloom_bc.unpersist()
-            self._bloom_bc = None
+        self._invalidate_filter_broadcasts([r["bucket"] for r in rows])
 
     def _bloom_current(self, spark: SparkSession) -> DenseBloom:
         """Rebuild from the full table only on a cold start / external
@@ -289,13 +398,13 @@ class SeenSet:
         snap = self.table.current_snapshot_id()
         if self._bloom is None or self._bloom_snapshot != snap:
             self._bloom = self._new_filter()
-            self._bloom_bc = None
+            self._invalidate_filter_broadcasts(None)  # full rebuild
             if snap is not None:
                 self._fold_into_bloom(self._shards_of(self.table.read(spark)))
             self._bloom_snapshot = snap
             # deferred batches are NOT folded here: their keys stay
             # prefilter-visible through the sorted-key delta broadcast
-            # (_delta_broadcast), which filter_unseen ORs into the dense
+            # (_delta_broadcasts), which filter_unseen ORs into the dense
             # filter's verdict — a miss would route a pending key to
             # "definitely unseen" (a dup crawl), so the delta is exact.
         return self._bloom
@@ -308,30 +417,47 @@ class SeenSet:
             self._bloom_bc = spark.sparkContext.broadcast(self._bloom)
         return self._bloom_bc
 
-    def _delta_broadcast(self, spark: SparkSession):
-        """Broadcast of the sorted pending-key array (None when empty) —
-        one per delta version; a defer-add invalidates only this small
-        broadcast, never the dense filter's."""
-        if self._delta_keys is None or not len(self._delta_keys):
-            return None
-        if self._delta_bc is None:
-            self._delta_bc = spark.sparkContext.broadcast(self._delta_keys)
-        return self._delta_bc
+    def _delta_broadcasts(self, spark: SparkSession) -> list:
+        """The per-batch delta broadcasts (one per deferred add, created at
+        add time and reused until flush — a defer-add never invalidates an
+        earlier batch's broadcast, and never the dense filter's). Each
+        value is ``(sorted_keys,)`` in url mode or ``(sorted_keys,
+        key2_aligned)`` in wide-key mode."""
+        return self._delta_bcs
 
     def _clear_delta(self) -> None:
         self._pending_arrays = []
-        self._delta_keys = None
-        if self._delta_bc is not None:
-            self._delta_bc.unpersist()
-            self._delta_bc = None
+        for bc in self._delta_bcs:
+            bc.unpersist()
+        self._delta_bcs = []
 
     # -- public API ------------------------------------------------------------
 
     def keyed(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
         canon = canonicalize_url(F.col(url_col))
-        return urls.withColumn(url_col, canon).withColumn(
+        out = urls.withColumn(url_col, canon).withColumn(
             "key", url_key(F.col(url_col))
         ).withColumn("bucket", url_bucket(F.col(url_col), self.n_buckets))
+        if not self.store_urls:
+            # independent second hash: xxhash64 over (salt, url) — NOT a
+            # function of key alone (tests/test_seen_modes.py pins this)
+            out = out.withColumn(
+                "key2", F.xxhash64(F.lit(_KEY2_SALT), F.col(url_col))
+            )
+        return out
+
+    def _helper_cols(self) -> list[str]:
+        return ["key", "bucket"] if self.store_urls else ["key", "bucket", "key2"]
+
+    def _rows_of(self, urls: DataFrame, url_col: str) -> DataFrame:
+        """The batch in table-row shape: (bucket, key, url) in url mode,
+        (bucket, key, key2) in wide-key mode — deduped by key."""
+        k = self.keyed(urls.select(url_col), url_col)
+        if self.store_urls:
+            rows = k.select("bucket", "key", F.col(url_col).alias("url"))
+        else:
+            rows = k.select("bucket", "key", "key2")
+        return rows.dropDuplicates(["key"])
 
     def filter_unseen(
         self,
@@ -354,33 +480,94 @@ class SeenSet:
         the default (a handful of buckets -> a handful of files read).
         """
         cand = self.keyed(urls, url_col)
+        helpers = self._helper_cols()
         if self.table.current_snapshot_id() is None and not self._pending:
-            return cand.drop("key", "bucket")
+            return cand.drop(*helpers)
 
-        bc = self._bloom_broadcast(spark)
-        dbc = self._delta_broadcast(spark)
+        deltas = list(self._delta_bcs)
         from pyspark.sql.pandas.functions import pandas_udf
 
-        @pandas_udf("boolean")
-        def maybe_seen(bucket, key):
-            import pandas as pd
+        if self.n_ranges:
+            # sharded mode: align candidates to bucket ranges (ONE small
+            # shuffle of the batch via the exact token partitioner), then
+            # have each task dereference only the slice broadcasts its
+            # partition's buckets fall in — the worker fetches slice bytes,
+            # never the whole filter
+            toks = _bucket_partition_tokens(self.n_ranges)
+            pmap = F.create_map(
+                *[F.lit(x) for p in range(self.n_ranges) for x in (p, toks[p])]
+            )
+            range_id = F.floor(
+                F.col("bucket") * self.n_ranges / self.n_buckets
+            ).cast("int")
+            cand = cand.repartition(self.n_ranges, pmap[range_id])
+            bcs = self._range_broadcasts(spark)
+            n_ranges, n_buckets = self.n_ranges, self.n_buckets
 
-            b = bc.value
-            k = key.to_numpy()
-            hit = b.might_contain(bucket.to_numpy(), k)
-            if dbc is not None:
-                d = dbc.value  # sorted pending keys (exact, tiny)
-                idx = np.minimum(np.searchsorted(d, k), len(d) - 1)
-                hit |= d[idx] == k
-            return pd.Series(hit)
+            def dense_hit(bk: np.ndarray, k: np.ndarray) -> np.ndarray:
+                hit = np.zeros(len(k), dtype=bool)
+                rids = bk.astype(np.int64) * n_ranges // n_buckets
+                for rid in np.unique(rids):
+                    m = rids == rid
+                    hit[m] = bcs[int(rid)].value.might_contain(bk[m], k[m])
+                return hit
+        else:
+            bc = self._bloom_broadcast(spark)
+
+            def dense_hit(bk: np.ndarray, k: np.ndarray) -> np.ndarray:
+                return bc.value.might_contain(bk, k)
+
+        if self.store_urls:
+
+            @pandas_udf("boolean")
+            def maybe_seen(bucket, key):
+                import pandas as pd
+
+                k = key.to_numpy()
+                hit = dense_hit(bucket.to_numpy(), k)
+                for dbc in deltas:
+                    d = dbc.value[0]  # sorted pending keys (exact, tiny)
+                    if not len(d):
+                        continue
+                    idx = np.minimum(np.searchsorted(d, k), len(d) - 1)
+                    hit |= d[idx] == k
+                return pd.Series(hit)
+
+            verdict = maybe_seen(F.col("bucket"), F.col("key"))
+            flag, sure_pred, suspect_pred = "_maybe", ~F.col("_maybe"), F.col("_maybe")
+        else:
+            # wide-key mode: the delta is 128-bit EXACT, so pending keys
+            # resolve entirely inside this Arrow pass — 0 unseen, 1 seen
+            # (confirmed by a delta (key, key2) match), 2 possibly-in-table
+            # (dense-filter hit; resolved by the exact table check below,
+            # which therefore never needs the buffered batches)
+            @pandas_udf("byte")
+            def verdict_of(bucket, key, key2):
+                import pandas as pd
+
+                k = key.to_numpy()
+                k2 = key2.to_numpy()
+                confirmed = np.zeros(len(k), dtype=bool)
+                for dbc in deltas:
+                    d, d2 = dbc.value
+                    if not len(d):
+                        continue
+                    idx = np.minimum(np.searchsorted(d, k), len(d) - 1)
+                    confirmed |= (d[idx] == k) & (d2[idx] == k2)
+                hit = dense_hit(bucket.to_numpy(), k)
+                return pd.Series(
+                    np.where(confirmed, 1, np.where(hit, 2, 0)).astype(np.int8)
+                )
+
+            verdict = verdict_of(F.col("bucket"), F.col("key"), F.col("key2"))
+            flag, sure_pred, suspect_pred = "_v", F.col("_v") == 0, F.col("_v") == 2
 
         # materialize once: both branches below consume this plan, and the
         # politeness/bloom upstream must not re-execute per branch
-        cand = cand.withColumn(
-            "_maybe", maybe_seen(F.col("bucket"), F.col("key"))
-        ).localCheckpoint(eager=False)
-        sure_new = cand.filter(~F.col("_maybe"))
-        suspects = cand.filter(F.col("_maybe"))
+        cand = cand.withColumn(flag, verdict).localCheckpoint(eager=False)
+        sure_new = cand.filter(sure_pred)
+        suspects = cand.filter(suspect_pred)
+        drop_cols = [*helpers, flag]
 
         # exact check: seen ⨝ suspects (suspects broadcast — the big table is
         # never shuffled), URL-compared to kill hash collisions, then anti.
@@ -391,6 +578,7 @@ class SeenSet:
         # row-group stats prune within the surviving files. A small suspect
         # batch (watch mode) therefore reads a handful of files, not the
         # table.
+        val_col = "url" if self.store_urls else "key2"
         snap = self.table.snapshot()
         seen = None
         if prune_buckets:
@@ -404,12 +592,12 @@ class SeenSet:
             }
             if not sus_buckets:
                 # every candidate missed the prefilter — nothing to check
-                return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
+                return sure_new.unionByName(suspects).drop(*drop_cols)
             if files:
                 seen = (
                     spark.read.parquet(*files)
                     .where(F.col("bucket").isin([int(b) for b in sus_buckets]))
-                    .select("key", F.col("url").alias("_seen_url"))
+                    .select("key", F.col(val_col).alias("_seen_val"))
                 )
         else:
             files = snap.files if snap else []
@@ -419,36 +607,58 @@ class SeenSet:
             }
             if files:
                 seen = spark.read.parquet(*files).select(
-                    "key", F.col("url").alias("_seen_url")
+                    "key", F.col(val_col).alias("_seen_val")
                 )
-        # deferred batches are seen-but-not-yet-durable: the delta
-        # broadcast routes their keys here as suspects, and they must
-        # confirm against the buffer exactly like table rows. Pending
-        # batches are localCheckpointed and tiny relative to the table —
-        # an unpruned union is a memory scan, not file I/O.
-        for batch in self._pending:
-            pend = batch.select("key", F.col("url").alias("_seen_url"))
-            seen = pend if seen is None else seen.unionByName(pend)
+        if self.store_urls:
+            # deferred batches are seen-but-not-yet-durable: the delta
+            # broadcast routes their keys here as suspects, and they must
+            # confirm against the buffer exactly like table rows. Pending
+            # batches are localCheckpointed and tiny relative to the table —
+            # an unpruned union is a memory scan, not file I/O. (Wide-key
+            # mode never reaches the buffer: its delta already confirmed
+            # pending keys exactly in the Arrow pass above.)
+            for batch in self._pending:
+                pend = batch.select("key", F.col("url").alias("_seen_val"))
+                seen = pend if seen is None else seen.unionByName(pend)
         if seen is None:
-            # zero files (e.g. merge_delete removed everything) and no
-            # pending buffer: every candidate is unseen
-            return sure_new.unionByName(suspects).drop("key", "bucket", "_maybe")
-        confirmed = (
-            seen.join(
-                F.broadcast(suspects.select("key", F.col(url_col).alias("_cand_url"))),
-                on="key",
-                how="inner",
+            # zero files (e.g. merge_delete removed everything) and nothing
+            # buffered that could confirm: every suspect is unseen
+            return sure_new.unionByName(suspects).drop(*drop_cols)
+        if self.store_urls:
+            confirmed = (
+                seen.join(
+                    F.broadcast(
+                        suspects.select("key", F.col(url_col).alias("_cand_url"))
+                    ),
+                    on="key",
+                    how="inner",
+                )
+                .where(F.col("_seen_val") == F.col("_cand_url"))
+                .select(F.col("_cand_url").alias("_confirmed_url"))
+                .distinct()
             )
-            .where(F.col("_seen_url") == F.col("_cand_url"))
-            .select(F.col("_cand_url").alias("_confirmed_url"))
-            .distinct()
-        )
-        false_pos = suspects.join(
-            F.broadcast(confirmed),
-            suspects[url_col] == F.col("_confirmed_url"),
-            "left_anti",
-        )
-        return sure_new.unionByName(false_pos).drop("key", "bucket", "_maybe")
+            false_pos = suspects.join(
+                F.broadcast(confirmed),
+                suspects[url_col] == F.col("_confirmed_url"),
+                "left_anti",
+            )
+        else:
+            confirmed = (
+                seen.join(
+                    F.broadcast(
+                        suspects.select("key", F.col("key2").alias("_cand_key2"))
+                    ),
+                    on="key",
+                    how="inner",
+                )
+                .where(F.col("_seen_val") == F.col("_cand_key2"))
+                .select("key", F.col("_cand_key2").alias("key2"))
+                .distinct()
+            )
+            false_pos = suspects.join(
+                F.broadcast(confirmed), ["key", "key2"], "left_anti"
+            )
+        return sure_new.unionByName(false_pos).drop(*drop_cols)
 
     def add(
         self,
@@ -479,31 +689,31 @@ class SeenSet:
             import time as _time
 
             _t0 = _time.time()
-            batch = (
-                self.keyed(urls.select(url_col), url_col)
-                .select("bucket", "key", F.col(url_col).alias("url"))
-                .dropDuplicates(["key"])
-                .localCheckpoint(eager=True)
-            )
+            batch = self._rows_of(urls, url_col).localCheckpoint(eager=True)
             _t1 = _time.time()
-            # pending keys go into the SMALL sorted-key delta (one Arrow
-            # collect), not the dense filter: the big broadcast stays valid,
-            # so the next filter_unseen re-ships O(pending) bytes per
-            # worker, not O(table) bits — the fold is paid once, at flush
-            tbl = batch.select("bucket", "key").toArrow()
+            # pending keys go into a SMALL per-batch sorted-key delta
+            # broadcast (one Arrow collect), not the dense filter: the big
+            # broadcast stays valid AND earlier batches' delta broadcasts
+            # stay valid — the next filter_unseen ships each worker only
+            # the batches it hasn't cached, O(batch) bytes, never a
+            # re-sorted O(total pending) blob. The fold is paid at flush.
+            cols = ["bucket", "key"] + ([] if self.store_urls else ["key2"])
+            tbl = batch.select(*cols).toArrow()
             bks = tbl.column("bucket").to_numpy(zero_copy_only=False)
             kys = tbl.column("key").to_numpy(zero_copy_only=False)
             self._pending_arrays.append(
                 (np.ascontiguousarray(bks), np.ascontiguousarray(kys))
             )
-            self._delta_keys = np.sort(
-                kys
-                if self._delta_keys is None
-                else np.concatenate([self._delta_keys, kys])
-            )
-            if self._delta_bc is not None:
-                self._delta_bc.unpersist()
-                self._delta_bc = None
+            order = np.argsort(kys, kind="stable")
+            if self.store_urls:
+                value = (np.ascontiguousarray(kys[order]),)
+            else:
+                k2s = tbl.column("key2").to_numpy(zero_copy_only=False)
+                value = (
+                    np.ascontiguousarray(kys[order]),
+                    np.ascontiguousarray(k2s[order]),
+                )
+            self._delta_bcs.append(spark.sparkContext.broadcast(value))
             self._pending.append(batch)
             self.last_add = {
                 "append_s": round(_t1 - _t0, 3),
@@ -533,9 +743,7 @@ class SeenSet:
         )
         range_id = F.floor(F.col("bucket") * n_part / self.n_buckets).cast("int")
         rows = (
-            self.keyed(urls.select(url_col), url_col)
-            .select("bucket", "key", F.col(url_col).alias("url"))
-            .dropDuplicates(["key"])
+            self._rows_of(urls, url_col)
             .repartition(n_part, pmap[range_id])
             .sortWithinPartitions("bucket", "key")
         )
@@ -628,9 +836,7 @@ class SeenSet:
             self._bloom.merge_shard(b, bm)
         for b, row, fp in getattr(local, "overflow", []):
             self._bloom.reinsert_pair(b, int(row), int(fp))
-        if self._bloom_bc is not None:
-            self._bloom_bc.unpersist()
-            self._bloom_bc = None
+        self._invalidate_filter_broadcasts(buckets)
 
     def _fold_files_into_bloom(self, files: list[str]) -> None:
         """Driver-local incremental fold: read (bucket, key) of freshly
@@ -674,11 +880,7 @@ class SeenSet:
         if self._pending:
             # merge_delete operates on the durable table only
             self.flush(spark)
-        keyed = (
-            self.keyed(urls.select(url_col), url_col)
-            .select("bucket", "key", F.col(url_col).alias("url"))
-            .dropDuplicates(["key"])
-        )
+        keyed = self._rows_of(urls, url_col)
         prev_snap = self.table.current_snapshot_id()
         filter_live = self._bloom is not None and self._bloom_snapshot == prev_snap
         # O(batch) driver collect, cuckoo only (bloom can't delete anyway);
@@ -703,13 +905,11 @@ class SeenSet:
                                       meta={"op": "seen-remove"})
         if filter_live:
             if self.backend == "cuckoo" and rows:
+                bks = np.array([r["bucket"] for r in rows], dtype=np.int64)
                 self._bloom.delete(
-                    np.array([r["bucket"] for r in rows], dtype=np.int64),
-                    np.array([r["key"] for r in rows], dtype=np.int64),
+                    bks, np.array([r["key"] for r in rows], dtype=np.int64)
                 )
-                if self._bloom_bc is not None:
-                    self._bloom_bc.unpersist()
-                    self._bloom_bc = None
+                self._invalidate_filter_broadcasts(bks)
             # bloom: superset filter stays valid (conservative)
             self._bloom_snapshot = sid
         return sid

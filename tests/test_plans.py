@@ -81,9 +81,10 @@ def test_ivf_centroid_seed_is_bounded_topk(spark, sf_dir):
 
 
 def test_politeness_partial_path_no_shuffle_of_pending(spark):
-    """The production-budget politeness path must scan pending narrowly
-    (mapInArrow partial top-k) and shuffle only the O(partitions x budget)
-    survivors — no Exchange may consume the full pending relation."""
+    """The production-budget politeness path must scan pending narrowly —
+    the Arrow pass ships ONLY (host, priority), never urls — and the
+    winner carve must reach pending via a broadcast params join, with no
+    Exchange consuming the full pending relation."""
     from npm_search_spark.frontier import politeness_schedule
 
     pending = spark.createDataFrame(
@@ -91,12 +92,20 @@ def test_politeness_partial_path_no_shuffle_of_pending(spark):
         "url string, host string, priority double",
     )
     out = politeness_schedule(pending, {"h0.org": 5}, default_budget=5, strategy="partial")
+    surv_plan = plan_of(out._partial_debug["survivors"])
+    # the Arrow pass consumes a (host, priority) projection — the url
+    # column must be pruned before the Python boundary (the MapInArrow
+    # node's input signature and the Project feeding it carry no url)
+    lines = surv_plan.splitlines()
+    assert lines[0].startswith("MapInArrow") and "url" not in lines[0]
+    assert "Project [host" in lines[1] and "url" not in lines[1]
+    # the final plan reads the checkpointed O(budget) candidates, never
+    # re-scans or shuffles pending; the only Exchange is the O(boundary)
+    # window over checkpointed rows
     plan = plan_of(out)
-    # survivors pass through Python (Arrow) before any Exchange; the
-    # winners come back via a broadcast join, not a shuffle of pending
-    assert "MapInArrow" in plan
-    assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(url" not in plan
+    assert "MapInArrow" not in plan  # pending is not re-scanned by the carve
+    assert "Scan ExistingRDD" in plan  # carve reads the checkpoint
 
 
 def test_enqueue_check_never_shuffles_frontier(spark, tmp_path):

@@ -232,17 +232,20 @@ class TestSeenDeferred:
         b2 = [f"https://registry.npmjs.org/g2-{i}" for i in range(40)]
         s.add(spark, self._urls(spark, b1), defer=True)
         assert s._bloom_bc is dense_bc  # untouched by the deferred add
-        d1 = s._delta_broadcast(spark)
-        assert d1 is not None and len(d1.value) == 40
+        deltas = s._delta_broadcasts(spark)
+        assert len(deltas) == 1 and len(deltas[0].value[0]) == 40
         # dedup still exact across buffer + table while the dense bc is stale
         out = s.filter_unseen(spark, self._urls(spark, b1 + b2))
         assert sorted(r["url"] for r in out.collect()) == sorted(b2)
         s.add(spark, self._urls(spark, b2), defer=True)
         assert s._bloom_bc is dense_bc  # still untouched
-        assert len(s._delta_broadcast(spark).value) == 80
+        # per-batch deltas: batch 1's broadcast is reused, batch 2 adds one
+        deltas2 = s._delta_broadcasts(spark)
+        assert deltas2[0] is deltas[0] and len(deltas2) == 2
+        assert len(deltas2[1].value[0]) == 40
         # flush folds ONCE: dense broadcast finally rolls, delta clears
         s.flush(spark)
-        assert s._delta_broadcast(spark) is None
+        assert s._delta_broadcasts(spark) == []
         s.filter_unseen(spark, self._urls(spark, b1)).count()
         assert s._bloom_bc is not dense_bc
         assert s.filter_unseen(spark, self._urls(spark, b1 + b2)).count() == 0
