@@ -1001,25 +1001,48 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
             ORDER BY doc_id
         """,
+        # Both pair oracles are written inverted-index style (explode grams,
+        # equi-join on gram, count shared grams per pair) rather than the
+        # naive O(n^2) all-pairs self-join: pairs with zero shared grams have
+        # jaccard 0 and can never pass the threshold, so the result set is
+        # identical, but the join cost is sum(df^2) over grams instead of
+        # n^2 over docs — the difference between seconds and days at sf1.0
+        # (~55k docs = 1.5e9 pairs). Gram lists are list_distinct per doc,
+        # so count(*) per pair IS |A∩B| and |A∪B| = |A|+|B|-|A∩B|.
         "dedup_ngram_jaccard": f"""
-            WITH g AS (SELECT * FROM {_GRAMS_SQL})
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
-                     AS jaccard
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+            WITH g AS (SELECT * FROM {_GRAMS_SQL}),
+            sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+            posts AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+              FROM posts a JOIN posts b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.isect::DOUBLE / (sa.n + sb.n - i.isect), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.isect::DOUBLE / (sa.n + sb.n - i.isect) >= 0.8
             ORDER BY doc_a, doc_b
         """,
         "dedup_minhash_lsh": f"""
-            WITH g AS (SELECT * FROM {_GRAMS_SQL})
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                         len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+            WITH g AS (SELECT * FROM {_GRAMS_SQL}),
+            sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+            posts AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+              FROM posts a JOIN posts b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.isect::DOUBLE / (sa.n + sb.n - i.isect), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.isect::DOUBLE / (sa.n + sb.n - i.isect) >= 0.9
             ORDER BY doc_a, doc_b
         """,
         "text_stats": f"""
