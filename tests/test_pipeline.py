@@ -227,6 +227,65 @@ class TestSimilarity:
         per_q = out.groupBy("query_id").count().collect()
         assert all(r["count"] == 3 for r in per_q)
 
+    def test_exact_dup_pairs_match_bruteforce(self, spark):
+        """The blocked-GEMM dup-pairs join is EXACT: on hash-derived vectors
+        plus nudged near-copies (distinct values, cos just under 1.0 — the
+        pairs single-band LSH measurably misses), the pair set equals an
+        all-pairs brute force, with block_rows small enough to force a
+        multi-block grid (diagonal + off-diagonal tiles)."""
+        from npm_search_spark.pipeline.similarity import (
+            cosine,
+            embedding_cosine_dup_pairs,
+        )
+
+        dim = 8
+        base = spark.range(60).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.hash(F.col("id"), F.lit(d)).cast("double") / F.lit(2147483647.0))
+                    for d in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        copies = base.where(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.concat(
+                F.slice(F.col("embedding"), 1, 1),
+                F.transform(
+                    F.slice(F.col("embedding"), 2, dim - 1),
+                    lambda x: x + F.lit(1e-4),
+                ),
+            ).alias("embedding"),
+        )
+        e = base.unionByName(copies)
+        got = {
+            (r["a"], r["b"], r["cos"])
+            for r in embedding_cosine_dup_pairs(
+                e, threshold=0.9, block_rows=16
+            ).collect()
+        }
+        l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+        r_ = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+        brute = (
+            l.crossJoin(r_)
+            .where(F.col("a") < F.col("b"))
+            .withColumn(
+                "cos",
+                F.round(
+                    cosine(
+                        F.col("va").cast("array<double>"),
+                        F.col("vb").cast("array<double>"),
+                    ),
+                    6,
+                ),
+            )
+            .where(F.col("cos") >= 0.9)
+        )
+        want = {(r["a"], r["b"], r["cos"]) for r in brute.collect()}
+        assert want, "fixture must produce qualifying pairs"
+        assert got == want
+
 
 class TestMultimodal:
     def test_plumbing_shapes(self, spark):
