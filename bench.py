@@ -777,6 +777,23 @@ def run_scaling(args) -> int:
         f"{'yes' if v.get('pinned') else 'no'} |"
         for k, v in sorted(points_hist.items(), key=lambda kv: int(kv[0]))
     )
+    # the drain bullet must match what this campaign actually measured:
+    # a near-1.0 inflation run (working set fits the heap) SCALES, and
+    # saying it "loses efficiency to the bus" would contradict the table
+    if (cpu_inflation or 1.0) <= 1.1 and eff >= 0.8:
+        drain_bullet = f"""- The shuffle-heavy drain scales at **{eff}** at this size: its
+  *CPU*-time sum grows only {cpu_inflation}x from {base}→{big} cores for
+  identical work (same input, same task graph — partition counts are
+  pinned across runs), i.e. no shared-bus contention tax when the
+  working set fits the heap cleanly. Ledger rows with inflation well
+  above 1.0 show what happens outside that regime — contention a real
+  N→4N executor scale-out removes."""
+    else:
+        drain_bullet = f"""- The shuffle-heavy drain loses efficiency to the single shared memory
+  bus: its *CPU*-time sum grows {cpu_inflation}x from {base}→{big} cores
+  for identical work (same input, same task graph — partition counts are
+  pinned across runs), i.e. each core's work gets slower as more cores
+  contend, which no amount of parallelism recovers on one box."""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (sandbox proxy for N vs 4N executors)
@@ -855,11 +872,7 @@ measured cpu inflation ({cpu_inflation}x at {big} cores):
 
 - The compute-bound scheduler path scales at {probe_eff} from {base}→{big}
   cores — the machinery itself has no serial bottleneck.
-- The shuffle-heavy drain loses efficiency to the single shared memory
-  bus: its *CPU*-time sum grows {cpu_inflation}x from {base}→{big} cores
-  for identical work (same input, same task graph — partition counts are
-  pinned across runs), i.e. each core's work gets slower as more cores
-  contend, which no amount of parallelism recovers on one box.
+{drain_bullet}
 - Saturation point: from {big}→32 cores the drain's task-time sum grows
   {sat32}x while throughput stays flat — 32 threads stall on the same bus.
   On a real N→4N *executor* scale-out each executor adds its own memory
