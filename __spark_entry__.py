@@ -97,13 +97,22 @@ def q_total_sum(spark, sf):
 
 
 def q_last_wins_dedup(spark, sf):
-    """A2/T3: last-wins dedup per key (watch batch dedup)."""
+    """A2/T3: last-wins dedup per key (watch batch dedup).
+
+    r6: argmax via max(struct(ts, event_id, event_type)) instead of a
+    row_number window — identical rows ((ts, event_id) is unique per user,
+    so the lexicographic struct max IS the rn=1 row of the (ts DESC,
+    event_id DESC) order), but the hash aggregate does partial (map-side)
+    aggregation inside the scan task: the single-row-group events file no
+    longer pays a serial 1M-row Sort + WindowGroupLimit, and the exchange
+    carries one row per user instead of the pre-limit batch."""
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    top = F.max(F.struct("ts", "event_id", "event_type")).alias("_t")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
+        e.groupBy("user_id")
+        .agg(top)
+        .select("user_id", F.col("_t.event_id").alias("event_id"),
+                F.col("_t.event_type").alias("event_type"))
     )
 
 
@@ -155,13 +164,18 @@ def q_anti_join_seen(spark, sf):
 
 
 def q_min_by_race(spark, sf):
-    """L4: deterministic first-success-wins (replaces the promise race)."""
+    """L4: deterministic first-success-wins (replaces the promise race).
+
+    r6: argmin via min(struct(o_orderdate, o_orderkey)) — same rows as the
+    rn=1 window (o_orderkey is unique, so the struct min is the first row
+    of the (o_orderdate, o_orderkey) order) but with map-side partial
+    aggregation: no per-partition sort, and the shuffle carries one row
+    per customer instead of the full orders table."""
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
+        .select("o_custkey", F.col("_m.o_orderkey").alias("first_orderkey"))
     )
 
 
@@ -172,10 +186,30 @@ def q_politeness_budget(spark, sf):
     budgets = F.when(F.col("event_type") == "click", 6).when(
         F.col("event_type") == "view", 20
     ).otherwise(10)
+    # r6 two-phase exact top-k: a salted pre-window keeps the top-20 per
+    # (event_type, salt) — every global top-20 row is in its salt's local
+    # top-20, so the survivor set (<= 64 x 20 x n_types rows) contains all
+    # final winners and the global rank of a survivor among survivors
+    # equals its true rank for rn <= 20. The heavy sort runs 64-way
+    # parallel after one hash exchange instead of funneling the whole
+    # table through n_types window partitions; the rn <= 20 literal lets
+    # InferWindowGroupLimit bound both windows.
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(64)).alias("_s")
+    base = e.select("event_type", "event_id", "value", salt).repartition(
+        64, F.col("_s")
+    )
+    w_local = Window.partitionBy("event_type", "_s").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    survivors = (
+        base.withColumn("_rn1", F.row_number().over(w_local))
+        .where(F.col("_rn1") <= 20)
+        .drop("_rn1", "_s")
+    )
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= budgets)
+        survivors.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 20) & (F.col("rn") <= budgets))
         .select("event_type", "event_id", F.round("value", 6).alias("priority"))
     )
 
@@ -363,10 +397,14 @@ def _docs_with_dups(spark, sf):
     cheap fingerprint groupBy (dedup_exact) consumes the unshuffled scan —
     a blanket repartition was a pure shuffle tax on the latter."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    dups = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    return d.unionByName(dups)
+    # r6: ONE scan instead of a union of two (the dup branch's modulo
+    # predicate does not push down, so the union decoded the text column
+    # twice); explode emits the +1000000 copy inline. Same rows.
+    ids = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
+    ).otherwise(F.array(F.col("doc_id")))
+    return d.select(F.explode(ids).alias("doc_id"), "text")
 
 
 def q_dedup_exact(spark, sf):
