@@ -139,9 +139,13 @@ def q_downloads_magnitude(spark, sf):
 
 
 def q_broadcast_left_join(spark, sf):
-    """J1/J2/J3: broadcast left equi-join + coalesce defaults."""
-    o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer")
+    """J1/J2/J3: broadcast left equi-join + coalesce defaults.
+
+    r6: both sides projected to the columns the query touches before the
+    join (guide §2.3) — the broadcast hash relation carries 2 columns
+    instead of the full customer row. Same rows, same per-task arithmetic."""
+    o = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
         .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("none")).alias("segment"))

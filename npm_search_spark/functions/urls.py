@@ -23,10 +23,22 @@ def canonicalize_url(url: Column) -> Column:
         F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
     )
-    c = F.regexp_replace(c, r"#.*$", "")          # fragment
-    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
-    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
-    c = F.regexp_replace(c, r"/+$", "")           # trailing slashes
+    # r6: 4 regex passes instead of 6 — the two default-port rules fuse
+    # into one alternation (an unmatched Java regex group substitutes as
+    # ""), and fragment + trailing-slash strip fuse into one pass
+    # (`/*#.*$` eats slashes immediately before the fragment, which is
+    # exactly what the old strip-fragment-then-strip-slashes sequence
+    # produced). Port strip runs first; its (?=[/?#]|$) lookahead is
+    # fragment-tolerant, and a ':443' INSIDE a fragment cannot match the
+    # anchored host pattern. Byte-equivalence with the old chain is pinned
+    # by tests/test_properties.py::TestCanonicalizeFusedEquivalence over an
+    # adversarial scheme/host/port/path/query/fragment product corpus.
+    c = F.regexp_replace(
+        c,
+        r"^(https://[^/:?#]+):443(?=[/?#]|$)|^(http://[^/:?#]+):80(?=[/?#]|$)",
+        r"$1$2",
+    )
+    c = F.regexp_replace(c, r"/*#.*$|/+$", "")
     return c
 
 

@@ -139,12 +139,14 @@ def lsh_ann_topk(
     probe_radius (more probes -> higher recall, more candidates)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_qn"),
         F.explode(
             lsh_probe_buckets(F.col(vec_col), dim, n_planes, probe_radius)
         ).alias("bucket"),
@@ -154,7 +156,12 @@ def lsh_ann_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")), 6),
+            # norms hoisted below the join (r6, see cosine_topk) — same
+            # left-fold arithmetic, bit-identical values
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -276,12 +283,14 @@ def ivf_ann_topk(
     cell assignment is a narrow map; the search shuffles only (cell) keys."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
         ivf_cell(F.col(vec_col), centroids).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_qn"),
         F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
     scored = (
@@ -289,7 +298,11 @@ def ivf_ann_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")), 6),
+            # norms hoisted below the join (r6, see cosine_topk)
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -314,12 +327,14 @@ def embedding_cosine_dup_pairs_lsh(
     variant the oracle-gated battery runs."""
     c = df.select(
         F.col(id_col).alias("a"),
-        F.col(vec_col).alias("va"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_an"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     d = df.select(
         F.col(id_col).alias("b"),
-        F.col(vec_col).alias("vb"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_bn"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     return (
@@ -327,7 +342,11 @@ def embedding_cosine_dup_pairs_lsh(
         .where(F.col("a") < F.col("b"))
         .withColumn(
             "cos",
-            F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6),
+            # norms hoisted below the join (r6, see cosine_topk)
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("_an") * F.col("_bn")),
+                6,
+            ),
         )
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
@@ -338,7 +357,7 @@ def embedding_cosine_dup_pairs_lsh(
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    block_rows: int = 4096, **_compat,
+    block_rows: int = 4096, n_planes: int | None = None,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (unordered, a < b,
     round(cos, 6) >= threshold) as a blocked all-pairs similarity join.
@@ -364,8 +383,18 @@ def embedding_cosine_dup_pairs(
 
     All-pairs exactness costs O(P^2) block pairs by nature; at the 10^10
     north star run this on the deduped/filtered candidate subset, or accept
-    the recall bound and use `embedding_cosine_dup_pairs_lsh`."""
-    n = df.count()
+    the recall bound and use `embedding_cosine_dup_pairs_lsh`.
+
+    ``dim``/``n_planes`` are accepted for call-site compatibility with the
+    LSH variant and ignored (the exact method needs neither)."""
+    # one projected, checkpointed frame feeds everything (the count, the
+    # pack stage and both verify sides) — the upstream lineage used to be
+    # re-evaluated four times (r6, ADVICE #1)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).localCheckpoint(eager=False)
+    n = base.count()
     n_blocks = max(1, -(-n // block_rows))
     margin = 1e-6
 
@@ -387,21 +416,41 @@ def embedding_cosine_dup_pairs(
         )
 
     blocks = (
-        df.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+        base.select(
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int").alias("blk"),
+            "_id",
+            "_v",
         )
         .groupBy("blk")
         .applyInPandas(pack, "blk int, ids binary, mat binary")
+        .localCheckpoint(eager=False)  # packed once; both grid sides read it
     )
-    left = blocks.select(
-        F.col("blk").alias("lb"), F.col("ids").alias("lids"), F.col("mat").alias("lmat")
+    # r6 (ADVICE #2): the non-equi lb <= rb condition runs over the TINY
+    # (blk) index frame only; each side's multi-MB packed payload then
+    # equi-joins in by block id — the nested-loop join never carries the
+    # matrices.
+    blks = blocks.select("blk")
+    tiles = (
+        blks.alias("l")
+        .join(blks.alias("r"), F.col("l.blk") <= F.col("r.blk"))
+        .select(F.col("l.blk").alias("lb"), F.col("r.blk").alias("rb"))
     )
-    right = blocks.select(
-        F.col("blk").alias("rb"), F.col("ids").alias("rids"), F.col("mat").alias("rmat")
+    grid = (
+        tiles.join(
+            blocks.select(
+                F.col("blk").alias("lb"), F.col("ids").alias("lids"),
+                F.col("mat").alias("lmat"),
+            ),
+            "lb",
+        )
+        .join(
+            blocks.select(
+                F.col("blk").alias("rb"), F.col("ids").alias("rids"),
+                F.col("mat").alias("rmat"),
+            ),
+            "rb",
+        )
     )
-    grid = left.join(right, F.col("lb") <= F.col("rb"))
 
     def emit(batches):
         import numpy as np
@@ -423,14 +472,14 @@ def embedding_cosine_dup_pairs(
                 yield pd.DataFrame({"a": lo, "b": hi})
 
     cand = grid.mapInPandas(emit, "a long, b long")
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    va = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
+    vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
     return (
         cand.join(va, "a")
         .join(vb, "b")
         .withColumn(
             "cos",
-            F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6),
+            F.round(cosine(F.col("va"), F.col("vb")), 6),
         )
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")

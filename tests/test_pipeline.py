@@ -259,12 +259,13 @@ class TestSimilarity:
             ).alias("embedding"),
         )
         e = base.unionByName(copies)
-        got = {
-            (r["a"], r["b"], r["cos"])
-            for r in embedding_cosine_dup_pairs(
-                e, threshold=0.9, block_rows=16
-            ).collect()
-        }
+        got_rows = embedding_cosine_dup_pairs(
+            e, threshold=0.9, block_rows=16
+        ).collect()
+        got = {(r["a"], r["b"], r["cos"]) for r in got_rows}
+        # each qualifying pair must be emitted exactly once — a duplicate
+        # emission by the tile grid would vanish in the set compare
+        assert len(got_rows) == len(got)
         l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
         r_ = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
         brute = (

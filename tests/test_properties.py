@@ -58,6 +58,53 @@ class TestCanonicalizeProperties:
             assert "#" not in c and not c.endswith("/")
 
 
+class TestCanonicalizeFusedEquivalence:
+    def test_fused_regex_matches_reference_chain(self, spark):
+        """r6 fused canonicalize_url (4 regex passes) must be byte-equal to
+        the original 6-pass chain on an adversarial product corpus of
+        schemes x hosts/ports x paths x queries x fragments (plus leading/
+        trailing whitespace variants)."""
+
+        def canon_reference(url):
+            c = F.trim(url)
+            c = F.concat(
+                F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+                F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+            )
+            c = F.regexp_replace(c, r"#.*$", "")
+            c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
+            c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
+            c = F.regexp_replace(c, r"/+$", "")
+            return c
+
+        from npm_search_spark.functions.urls import canonicalize_url
+
+        schemes = ["https://", "http://", "HTTPS://", "HtTp://", "ftp+x://", ""]
+        hosts = ["Example.COM", "x", "x:443", "x:80", "x:8080", "[::1]:443", ""]
+        paths = ["", "/", "//", "/A/B", "/a/b/", "/a/b///", "/:443", "/a%20b"]
+        queries = ["", "?q=1", "?x=/#no", "?#", "?:80"]
+        frags = ["", "#f", "#f/", "#a#b", "#/x/", "###", "#:443"]
+        rows = []
+        for s in schemes:
+            for h in hosts:
+                for p in paths:
+                    for q in queries:
+                        for f in frags:
+                            u = s + h + p + q + f
+                            rows.append((u,))
+                            rows.append((" " + u + " ",))
+        df = spark.createDataFrame(rows, "url string")
+        n_bad = (
+            df.select(
+                canon_reference(F.col("url")).alias("o"),
+                canonicalize_url(F.col("url")).alias("n"),
+            )
+            .where(F.col("o") != F.col("n"))
+            .count()
+        )
+        assert n_bad == 0
+
+
 class TestPolitenessExactness:
     @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
     @given(
