@@ -486,15 +486,16 @@ def minhash_lsh_dedup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"),
         F.size("grams").alias("nb"),
     )
-    # r6 verify shape: broadcast the SMALL side (candidate pairs, then the
-    # pair+ga rows) so the gram table is streamed, never shuffled — at
-    # corpus scale the pair set is bounded by near-dup density, the gram
-    # table is O(corpus). |A∪B| computed as na + nb - |A∩B| (gram arrays
-    # are distinct by construction): same integers, same rounded jaccard,
-    # without materializing the union array per pair.
+    # r6 verify shape: |A∪B| computed as na + nb - |A∩B| (gram arrays are
+    # distinct by construction): same integers, same rounded jaccard,
+    # without materializing the union array per pair. The candidate side
+    # is left unhinted — AQE broadcast-converts it at runtime when the
+    # pair set is small (a forced F.broadcast build was measured to
+    # serialize the whole candidate chain ahead of the verify job and
+    # cost more than it saved at every size tried).
     isect = F.size(F.array_intersect("ga", "gb"))
     return (
-        ga.join(F.broadcast(cands), "doc_a")
+        cands.join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn(
             "jaccard",
