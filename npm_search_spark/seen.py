@@ -590,12 +590,28 @@ class SeenSet:
                             hit[i] = True
                 return pd.Series(hit)
 
-            return (
+            kept = (
                 cand.withColumn("_seen", seen_exact(F.col("key"), F.col("key2")))
                 .filter(~F.col("_seen"))
-                .drop(*helpers, "_seen")
+                .drop("_seen")
                 .localCheckpoint(eager=False)
             )
+            out = kept.drop(*helpers)
+            # r6 keyed-frame reuse: the checkpoint above already holds the
+            # (bucket, key, key2) columns for every returned row. When the
+            # caller passes this very DataFrame object straight into
+            # ``add()`` — the filter-then-mark call chain of a crawl
+            # generation — add() can take the keyed rows from the
+            # checkpoint instead of re-canonicalizing and re-hashing the
+            # urls (pure common-subexpression reuse of the same lazy plan
+            # within one call chain; keys are a deterministic function of
+            # the url, so results are identical). Weakref-keyed so a
+            # recycled object id can never alias a different frame.
+            import weakref
+
+            self._keyed_out_ref = weakref.ref(out)
+            self._keyed_out_rows = kept
+            return out
 
         if self.n_ranges:
             # sharded mode: align candidates to bucket ranges (ONE small
@@ -799,9 +815,17 @@ class SeenSet:
             import time as _time
 
             _t0 = _time.time()
-            batch = self._rows_of(urls, url_col, dedup=False).localCheckpoint(
-                eager=True
-            )
+            ref = getattr(self, "_keyed_out_ref", None)
+            if ref is not None and ref() is urls and not self.store_urls:
+                # keyed-frame reuse: `urls` IS the frame filter_unseen just
+                # returned — its backing checkpoint already carries the
+                # (bucket, key, key2) columns, so skip the re-canonicalize/
+                # re-hash and the extra checkpoint entirely.
+                batch = self._keyed_out_rows.select("bucket", "key", "key2")
+            else:
+                batch = self._rows_of(urls, url_col, dedup=False).localCheckpoint(
+                    eager=True
+                )
             _t1 = _time.time()
             # pending keys go into a SMALL per-batch sorted-key delta
             # broadcast (one Arrow collect), not the dense filter: the big
