@@ -921,6 +921,15 @@ class SeenSet:
         batch = reduce(lambda a, b: a.unionByName(b), self._pending)
         spark_ = batch.sparkSession
         n_part = int(n_partitions or spark_.conf.get("spark.sql.shuffle.partitions"))
+        if n_partitions is None and self._pending_arrays:
+            # r6 output-file sizing (guide §6): the driver knows the exact
+            # buffered row count (the delta arrays) — target >=128k rows
+            # (~2.5 MB) per file instead of always fanning to the shuffle
+            # width, which wrote dozens of sub-MB files per flush. Scale-
+            # adaptive: row count drives the file count up to the shuffle
+            # cap; an explicit n_partitions still wins.
+            n_pending = sum(len(k) for _, k in self._pending_arrays)
+            n_part = min(n_part, max(1, -(-n_pending // 131_072)))
         n_part = max(1, min(n_part, self.n_buckets))
         toks = _bucket_partition_tokens(n_part)
         pmap = F.create_map(
