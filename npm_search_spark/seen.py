@@ -299,6 +299,11 @@ class SeenSet:
         self._exact_arrays: tuple[np.ndarray, np.ndarray] | None = None
         self._exact_snapshot: int | None = None
         self._exact_bc = None
+        # keyed-frame reuse stash (see filter_unseen's exact path): weakref
+        # to the last returned frame + its keyed checkpoint, so add() can
+        # skip re-keying when handed that exact object back
+        self._keyed_out_ref = None
+        self._keyed_out_rows = None
 
     # upper bound on the driver-cached exact-array copy of the table
     # (~64 MB = ~4M wide-key rows); larger tables use the streamed check
