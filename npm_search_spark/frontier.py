@@ -581,12 +581,19 @@ def _schedule_histogram_topk(
         hist_src = pending if need is None else _host_subset(
             pending, [r["host"] for r in need]
         )
-        hist = with_bin(hist_src).groupBy("host", "_bin").count().collect()
-        for r in hist:
-            if r["_bin"] is None:
-                unknown[r["host"]] = unknown.get(r["host"], 0) + r["count"]
+        # Arrow-collect: O(hosts x bins) rows (16k at 4096 bins) cross the
+        # driver boundary as columnar batches instead of py4j Row objects
+        # (r6 — measured ~0.15 s off the cold tick at 2M pending rows)
+        hist = with_bin(hist_src).groupBy("host", "_bin").count().toArrow()
+        for hh, bn, c in zip(
+            hist.column("host").to_pylist(),
+            hist.column("_bin").to_pylist(),
+            hist.column("count").to_pylist(),
+        ):
+            if bn is None:
+                unknown[hh] = unknown.get(hh, 0) + c
             else:
-                by_host.setdefault(r["host"], {})[r["_bin"]] = r["count"]
+                by_host.setdefault(hh, {})[bn] = c
     need_hosts = sorted(by_host)
     thr_bin: dict[str, int] = {}
     remaining: dict[str, int] = {}
